@@ -1,0 +1,278 @@
+"""The receiver pipeline: ADC block -> N channels of demodulated audio.
+
+This is the TPU equivalent of the reference's per-channel audio path
+(`rx/rx_sound.cpp:222-1287` `c2s_sound()` plus the FPGA DDC feeding it):
+
+    ADC 125 Msps
+      -> [MXU] filter-bank DDC (all channels at once, ops/channelizer)
+      -> [VPU] per-channel, channel-vectorized:
+           noise blanker (pre-FIR IQ tap)
+           passband FastFIR (batched 1024-pt FFTs)
+           S-meter
+           AGC
+           mode demod (AM/SAM/SSB/CW/NBFM/IQ)
+           squelch / noise reduction
+      -> (audio_block, C) float32 audio + IQ taps + S-meter values
+
+Where the reference runs one cooperative task per channel on an ARM
+core, here ALL channels advance together in one jit-compiled block
+program; per-channel differences (mode, passband, gain) are data, not
+control flow.
+
+Extension sample taps (reference `extensions/ext.h:57-90`): the block
+function returns the same tap points the reference exposes — pre-FIR
+IQ, post-FIR/post-AGC IQ, demodulated audio, S-meter — so decoder
+extensions consume them without re-running the chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..numerology import ADC_CLOCK_NOM, AUDIO_BLOCK, SND_RATE_12K
+from ..ops import agc as agc_ops
+from ..ops import channelizer as chz
+from ..ops import cplx as cplx_ops
+from ..ops.cplx import Cplx
+from ..ops import demod as demod_ops
+from ..ops import fastfir
+from ..ops import iir
+from ..ops import noise as noise_ops
+from ..ops import smeter as smeter_ops
+from ..ops import nco
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class RxParams:
+    """Static receiver build (compile-time shape information)."""
+    num_channels: int
+    adc_clock: float = ADC_CLOCK_NOM
+    snd_rate: int = SND_RATE_12K
+    audio_block: int = AUDIO_BLOCK
+    atten_db: float = 90.0
+    enable_nr: bool = False         # spectral NR stage in the jit graph
+    enable_nb: bool = True
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "ddc",
+            chz.make_ddc_plan(self.adc_clock, self.snd_rate,
+                              self.audio_block, self.atten_db))
+        object.__setattr__(self, "fir", fastfir.FastFIRPlan())
+        object.__setattr__(
+            self, "agc",
+            agc_ops.AgcParams(fs=self.ddc.fs_out))
+        object.__setattr__(
+            self, "sam",
+            demod_ops.SamParams(fs=self.ddc.fs_out))
+        object.__setattr__(
+            self, "nr", noise_ops.SpectralNRParams())
+
+    ddc: chz.DDCPlan = dataclasses.field(init=False)
+    fir: fastfir.FastFIRPlan = dataclasses.field(init=False)
+    agc: agc_ops.AgcParams = dataclasses.field(init=False)
+    sam: demod_ops.SamParams = dataclasses.field(init=False)
+    nr: noise_ops.SpectralNRParams = dataclasses.field(init=False)
+
+    @property
+    def fs_out(self) -> float:
+        return self.ddc.fs_out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RxTuning:
+    """Per-channel dynamic configuration (device arrays, updated by the
+    control plane on "SET" commands — `rx/rx_sound_cmd.cpp`)."""
+    bank_r: jax.Array            # (L1, C) stage-1 filter bank, real
+    bank_i: jax.Array            # (L1, C) imag
+    dphi1: jax.Array             # (C, 3) rotator increment limbs
+    pb_coef: Cplx                # (fft_size, C) passband freq response
+    mode: jax.Array              # (C,) int32 demod mode id
+    manual_gain_db: jax.Array    # (C,) float32, NaN = AGC on
+    squelch_thresh: jax.Array    # (C,) float32, <=0 = open
+    nb_on: jax.Array             # (C,) bool noise blanker enable
+    nr_on: jax.Array             # (C,) bool spectral NR enable
+    fm_deviation: jax.Array      # () float32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RxState:
+    """All streaming carries for the full multi-channel receiver."""
+    ddc: chz.DDCState
+    fir_tail: Cplx
+    agc: agc_ops.AgcState
+    dc: jax.Array                 # (2, C) AM dc-blocker
+    sam: demod_ops.SamState
+    fm_last: Cplx                 # (C,)
+    squelch: demod_ops.SquelchState
+    nb_mavg: jax.Array            # (C,) float32
+    nr: noise_ops.SpectralNRState
+    smeter: jax.Array             # (C,) float32 filtered power
+
+
+def init_state(params: RxParams) -> RxState:
+    c = params.num_channels
+    return RxState(
+        ddc=chz.init_ddc_state(params.ddc, c),
+        fir_tail=fastfir.init_state(params.fir, c),
+        agc=agc_ops.init_state(params.agc, c),
+        dc=jnp.zeros((2, c), jnp.float32),
+        sam=demod_ops.init_sam_state(c),
+        fm_last=Cplx(jnp.ones((c,), jnp.float32),
+                     jnp.zeros((c,), jnp.float32)),
+        squelch=demod_ops.init_squelch_state(c),
+        nb_mavg=jnp.full((c,), 1e-3, jnp.float32),
+        nr=noise_ops.init_spectral_nr(params.nr, c),
+        smeter=jnp.zeros((c,), jnp.float32),
+    )
+
+
+def default_tuning(params: RxParams,
+                   freqs_hz: Sequence[float] | None = None,
+                   modes: Sequence[int] | None = None,
+                   passbands: Sequence[tuple[float, float]] | None = None,
+                   ) -> RxTuning:
+    """Host-side construction of a full tuning set."""
+    c = params.num_channels
+    if freqs_hz is None:
+        freqs_hz = np.linspace(1e6, 29e6, c)
+    fcws = [nco.freq_to_fcw(f, params.adc_clock) for f in freqs_hz]
+    bank_r, bank_i, dphi1 = chz.build_filterbank(params.ddc, fcws)
+    if modes is None:
+        modes = [demod_ops.MODE_USB] * c
+    if passbands is None:
+        passbands = [_default_passband(m) for m in modes]
+    coef = np.stack(
+        [fastfir.passband_freq_coef(params.fs_out, lo, hi, plan=params.fir)
+         for (lo, hi) in passbands], axis=-1)
+    return RxTuning(
+        bank_r=jnp.asarray(bank_r), bank_i=jnp.asarray(bank_i),
+        dphi1=jnp.asarray(dphi1), pb_coef=cplx_ops.from_numpy(coef),
+        mode=jnp.asarray(np.asarray(modes, np.int32)),
+        manual_gain_db=jnp.full((c,), np.nan, jnp.float32),
+        squelch_thresh=jnp.zeros((c,), jnp.float32),
+        nb_on=jnp.zeros((c,), bool),
+        nr_on=jnp.zeros((c,), bool),
+        fm_deviation=jnp.float32(2500.0),
+    )
+
+
+def _default_passband(mode: int) -> tuple[float, float]:
+    """Reference default passbands per mode (`rx/rx_init.cpp` mode
+    tables: AM +-4.9k, USB 300-2700, LSB mirror, CW 300-700, NBFM
+    +-6k, IQ +-5k)."""
+    d = demod_ops
+    return {
+        d.MODE_AM: (-4900.0, 4900.0), d.MODE_AMN: (-2500.0, 2500.0),
+        d.MODE_USB: (300.0, 2700.0), d.MODE_LSB: (-2700.0, -300.0),
+        d.MODE_CW: (300.0, 700.0), d.MODE_CWN: (470.0, 530.0),
+        d.MODE_NBFM: (-5500.0, 5500.0), d.MODE_IQ: (-5000.0, 5000.0),
+        d.MODE_DRM: (-5000.0, 5000.0), d.MODE_SAM: (-4900.0, 4900.0),
+        d.MODE_SAL: (-4900.0, -10.0), d.MODE_SAU: (10.0, 4900.0),
+        d.MODE_SAS: (-4900.0, 4900.0),
+    }.get(int(mode), (300.0, 2700.0))
+
+
+# ---------------------------------------------------------------------------
+# the block program
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RxTaps:
+    """Per-block outputs at the reference's extension tap points."""
+    audio: jax.Array              # (B, C) float32 demodulated audio
+    iq_pre_fir: Cplx              # (B, C) DDC output
+    iq_post_agc: Cplx             # (B, C) after passband+AGC
+    smeter_dbm: jax.Array         # (C,) float32 block peak level
+
+
+def rx_block(params: RxParams, state: RxState, tuning: RxTuning,
+             x_adc: jax.Array) -> tuple[RxState, RxTaps]:
+    """Process one ADC block through every channel.  jit-compiled once.
+
+    x_adc: (adc_block,) float32.
+    """
+    d = demod_ops
+    # --- DDC front half (MXU) ---
+    new_ddc, iq = _ddc(params, state, tuning, x_adc)
+
+    # --- noise blanker on raw IQ (reference taps pre-FIR) ---
+    nb_iq, nb_mavg = noise_ops.noise_blanker(iq, state.nb_mavg)
+    iq_nb = cplx_ops.where(tuning.nb_on[None, :], nb_iq, iq)
+
+    # --- passband filter (batched FFT) ---
+    z, fir_tail = fastfir.fastfir_block(params.fir, iq_nb, state.fir_tail,
+                                        tuning.pb_coef)
+
+    # --- S-meter on post-FIR IQ ---
+    _, smeter_peak, smeter_level = smeter_ops.smeter_block(z, state.smeter)
+
+    # --- AGC ---
+    zg, agc_state = agc_ops.agc_block(params.agc, z, state.agc,
+                                      tuning.manual_gain_db)
+
+    # --- demodulators (all computed, selected by mode) ---
+    am_audio, dc_state = demod_ops.am_demod(zg, state.dc)
+    ssb_audio = demod_ops.ssb_demod(zg)
+    fm_audio, fm_last = demod_ops.fm_demod(
+        zg, state.fm_last, params.fs_out, tuning.fm_deviation)
+    sam_audio, sam_state = demod_ops.sam_demod(params.sam, zg, state.sam)
+
+    mode = tuning.mode[None, :]
+    audio = jnp.where(
+        (mode == d.MODE_AM) | (mode == d.MODE_AMN), am_audio,
+        jnp.where(mode == d.MODE_NBFM, fm_audio,
+                  jnp.where((mode >= d.MODE_SAM), sam_audio, ssb_audio)))
+
+    # --- FM squelch (only meaningful for NBFM; threshold gates) ---
+    fm_thresh = jnp.where(tuning.mode == d.MODE_NBFM,
+                          tuning.squelch_thresh, 0.0)
+    audio, squelch_state = demod_ops.fm_squelch(audio, state.squelch,
+                                                fm_thresh)
+
+    # --- optional spectral NR ---
+    if params.enable_nr:
+        nr_audio, nr_state = noise_ops.spectral_nr_block(params.nr, audio,
+                                                         state.nr)
+        audio = jnp.where(tuning.nr_on[None, :], nr_audio, audio)
+    else:
+        nr_state = state.nr
+
+    new_state = RxState(
+        ddc=new_ddc, fir_tail=fir_tail, agc=agc_state, dc=dc_state,
+        sam=sam_state, fm_last=fm_last, squelch=squelch_state,
+        nb_mavg=nb_mavg, nr=nr_state, smeter=smeter_level,
+    )
+    taps = RxTaps(audio=audio, iq_pre_fir=iq, iq_post_agc=zg,
+                  smeter_dbm=smeter_peak)
+    return new_state, taps
+
+
+def _ddc(params: RxParams, state: RxState, tuning: RxTuning,
+         x_adc: jax.Array) -> tuple[chz.DDCState, Cplx]:
+    plan = params.ddc
+    x_ext = jnp.concatenate([state.ddc.x_tail, x_adc])
+    y1 = chz.stage1_apply(plan, x_ext, tuning.bank_r, tuning.bank_i,
+                          state.ddc.phi1, tuning.dphi1)
+    y_ext = cplx_ops.concatenate([state.ddc.y_tail, y1], axis=0)
+    audio_iq = chz.stage2_apply(plan, y_ext)
+    new = chz.DDCState(
+        x_tail=x_adc[-plan.tail1:],
+        y_tail=y_ext[-plan.tail2:],
+        phi1=nco.advance(state.ddc.phi1, tuning.dphi1, plan.k1),
+    )
+    return new, audio_iq
+
+
+def jit_rx_block(params: RxParams):
+    """Return the jitted block step for this build."""
+    return jax.jit(lambda s, t, x: rx_block(params, s, t, x),
+                   donate_argnums=(0,))

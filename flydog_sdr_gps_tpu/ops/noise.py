@@ -1,0 +1,219 @@
+"""Noise blanking and noise reduction, channel-vectorized.
+
+Reference processors (`rx/rx_sound.cpp:910-948` dispatch):
+
+- NB_STD: CuteSDR ``CNoiseProc`` impulse blanker
+  (`rx/CuteSDR/noiseproc.cpp:1-267`) — magnitude vs moving-average
+  ratio test, blanks a widened window around impulses.
+- NB_WILD: Teensy-ConvolutionSDR blanker (`rx/Teensy/NB_Wild.cpp`) —
+  same idea, different detector; covered by NB_STD params here.
+- NR_SPECTRAL: spectral-subtraction NR (`rx/Teensy/NR_spectral.cpp`) —
+  FFT / noise-floor estimate / Wiener-ish gain / IFFT.
+- NR_WDSP (ANR/EMNR) and NR_ORIG: LMS adaptive filters
+  (`rx/wdsp/ANR.cpp`, `rx/kiwi/lms.cpp`) — denoise + autonotch.
+
+TPU formulation: the blanker and spectral NR are pure vectorized block
+ops (masks, batched FFTs).  LMS is sequential by nature; it runs as a
+`lax.scan` over samples with the weight vectors as carry, vectorized
+across channels (each step is (C, taps) VPU math).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import cplx as cplx_ops
+from . import fft as fft_ops
+from .cplx import Cplx
+
+
+# ---------------------------------------------------------------------------
+# impulse noise blanker (NB_STD)
+# ---------------------------------------------------------------------------
+
+def noise_blanker(x: Cplx, mavg: jax.Array,
+                  gate_mult: float = 4.0, width: int = 7,
+                  alpha: float = 0.02) -> tuple[Cplx, jax.Array]:
+    """Blank impulses exceeding ``gate_mult`` x the running mean magnitude.
+
+    x: (N, C) complex64 (pre-demod IQ — the reference taps the raw IQ
+    before the passband filter, `rx/rx_sound.cpp:577-578`).
+    mavg: (C,) float32 carried magnitude average.
+    The blank window is widened by ``width`` samples either side via a
+    boolean dilation (reference widens by its delay-line length).
+    Returns (y, new_mavg).
+    """
+    mag = x.abs()
+    block_mean = jnp.mean(mag, axis=0)
+    new_mavg = (1.0 - alpha) * mavg + alpha * block_mean
+    thresh = jnp.maximum(new_mavg, 1e-9) * gate_mult
+    hit = mag > thresh[None, :]
+    # dilate the hit mask +-width samples (separable max filter)
+    pad = jnp.zeros((width, hit.shape[1]), bool)
+    h = jnp.concatenate([pad, hit, pad], axis=0)
+    dil = hit
+    for k in range(1, width + 1):
+        dil = dil | h[width - k:width - k + hit.shape[0]]
+        dil = dil | h[width + k:width + k + hit.shape[0]]
+    y = Cplx(jnp.where(dil, 0.0, x.re), jnp.where(dil, 0.0, x.im))
+    return y, new_mavg
+
+
+# ---------------------------------------------------------------------------
+# spectral-subtraction noise reduction (NR_SPECTRAL)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SpectralNRParams:
+    fft_size: int = 256
+    hop: int = 128                 # 50% overlap, Hann analysis window
+    smooth_alpha: float = 0.3      # psd pre-smoothing (frames)
+    min_window: int = 8            # blocks of windowed-minimum tracking
+    floor_bias: float = 2.2        # min-of-smoothed-psd -> mean bias
+    over_subtract: float = 1.4
+    gain_floor: float = 0.1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SpectralNRState:
+    in_tail: jax.Array            # (hop, C) input overlap
+    out_tail: jax.Array           # (hop, C) overlap-add carry
+    psd_smooth: jax.Array         # (fft/2+1, C) EMA-smoothed psd
+    min_ring: jax.Array           # (min_window, fft/2+1, C) block minima
+
+
+def init_spectral_nr(params: SpectralNRParams, num_channels: int,
+                     dtype=jnp.float32) -> SpectralNRState:
+    hb = params.fft_size // 2 + 1
+    return SpectralNRState(
+        in_tail=jnp.zeros((params.hop, num_channels), dtype),
+        out_tail=jnp.zeros((params.hop, num_channels), dtype),
+        psd_smooth=jnp.full((hb, num_channels), 1e3, jnp.float32),
+        min_ring=jnp.full((params.min_window, hb, num_channels), 1e3,
+                          jnp.float32),
+    )
+
+
+def spectral_nr_block(params: SpectralNRParams, x: jax.Array,
+                      state: SpectralNRState
+                      ) -> tuple[jax.Array, SpectralNRState]:
+    """Spectral subtraction over one block of real audio (N, C).
+
+    N must be a multiple of ``hop``.  Output is delayed by one hop
+    (overlap-add latency), matching the reference's processing delay.
+    """
+    n, c = x.shape
+    hop, fft = params.hop, params.fft_size
+    assert n % hop == 0 and fft == 2 * hop
+    xin = jnp.concatenate([state.in_tail, x], axis=0)
+    nfr = n // hop
+    # frames (nfr, fft, C), 50% overlap
+    frames = jnp.stack([xin[i * hop:i * hop + fft] for i in range(nfr)])
+    win = jnp.asarray(np.hanning(fft + 1)[:fft].astype(np.float32))
+    # matmul-FFT transforms the last axis -> go channel-major
+    fr = (frames * win[None, :, None]).transpose(0, 2, 1)   # (nfr, C, fft)
+    spec = fft_ops.fft(Cplx(fr, jnp.zeros_like(fr)))        # (nfr, C, fft)
+    spec = spec.transpose(0, 2, 1)                          # (nfr, fft, C)
+    spec = spec[:, :fft // 2 + 1]                           # one-sided
+    psd = spec.abs2()
+    # minimum statistics (Martin-style): smooth the psd over frames,
+    # then track the minimum over a sliding window of block minima;
+    # a steady noise floor survives the minimum, speech/CW bursts do
+    # not (as long as the window spans a signal pause).
+    def smooth(carry, p):
+        sm = carry + params.smooth_alpha * (p - carry)
+        return sm, sm
+    psd_smooth, sm_seq = lax.scan(smooth, state.psd_smooth, psd)
+    block_min = jnp.min(sm_seq, axis=0)
+    min_ring = jnp.concatenate([state.min_ring[1:], block_min[None]],
+                               axis=0)
+    est_noise = params.floor_bias * jnp.min(min_ring, axis=0)
+    gain = jnp.maximum(
+        1.0 - params.over_subtract * est_noise[None] /
+        jnp.maximum(sm_seq, 1e-12),
+        params.gain_floor ** 2)
+    g = jnp.sqrt(gain)
+    shaped = Cplx(spec.re * g, spec.im * g)                 # (nfr, hb, C)
+    # rebuild the full (conjugate-symmetric) spectrum and inverse-FFT
+    mid = shaped[:, 1:fft // 2]
+    full = cplx_ops.concatenate(
+        [shaped, Cplx(mid.re[:, ::-1], -mid.im[:, ::-1])], axis=1)
+    out_c = fft_ops.ifft(full.transpose(0, 2, 1))           # (nfr, C, fft)
+    out_frames = out_c.re.transpose(0, 2, 1)                # (nfr, fft, C)
+    out_frames = out_frames * win[None, :, None]
+    # overlap-add (Hann^2 with 50% overlap sums to 1.5; normalize)
+    y = jnp.zeros((n + hop, c), x.dtype)
+    for i in range(nfr):
+        y = y.at[i * hop:i * hop + fft].add(out_frames[i])
+    y = y / 1.5
+    out = y[:n].at[:hop].add(state.out_tail)
+    new_state = SpectralNRState(
+        in_tail=xin[-hop:],
+        out_tail=y[n:],
+        psd_smooth=psd_smooth,
+        min_ring=min_ring,
+    )
+    return out.astype(x.dtype), new_state
+
+
+# ---------------------------------------------------------------------------
+# LMS denoiser / autonotch (NR_ORIG semantics, `rx/kiwi/lms.cpp`)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class LmsParams:
+    taps: int = 64
+    delay: int = 16
+    mu: float = 0.01               # adaptation rate (normalized)
+    decay: float = 0.9999          # leakage
+    notch: bool = False            # False: denoise (output = prediction)
+                                   # True: autonotch (output = error)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LmsState:
+    weights: jax.Array             # (taps, C)
+    line: jax.Array                # (taps + delay, C) delay line
+
+
+def init_lms(params: LmsParams, num_channels: int) -> LmsState:
+    return LmsState(
+        weights=jnp.zeros((params.taps, num_channels), jnp.float32),
+        line=jnp.zeros((params.taps + params.delay, num_channels),
+                       jnp.float32),
+    )
+
+
+def lms_block(params: LmsParams, x: jax.Array, state: LmsState
+              ) -> tuple[jax.Array, LmsState]:
+    """Adaptive line enhancer over (N, C) real audio.
+
+    The predictor estimates x[n] from samples older than ``delay``;
+    periodic (tonal/voice-correlated) content is predictable, noise is
+    not.  Denoise mode outputs the prediction; notch mode outputs the
+    prediction error (removing carriers/heterodynes) — exactly the two
+    modes of `rx/kiwi/lms.cpp:30-123`.
+    """
+    mu = jnp.float32(params.mu)
+    decay = jnp.float32(params.decay)
+
+    def step(carry, xn):
+        w, line = carry
+        ref = line[:params.taps]                   # delayed reference
+        pred = jnp.sum(w * ref, axis=0)
+        err = xn - pred
+        norm = jnp.sum(ref * ref, axis=0) + 1e-3
+        w = decay * w + (mu / norm) * err[None, :] * ref
+        line = jnp.concatenate([line[1:], xn[None, :]], axis=0)
+        out = pred if not params.notch else err
+        return (w, line), out
+
+    (w, line), y = lax.scan(step, (state.weights, state.line), x)
+    return y.astype(x.dtype), LmsState(weights=w, line=line)
