@@ -63,7 +63,8 @@ class RxParams:
             self, "ddc",
             chz.make_ddc_plan(self.adc_clock, self.snd_rate,
                               self.audio_block, self.atten_db))
-        object.__setattr__(self, "fir", fastfir.FastFIRPlan())
+        object.__setattr__(self, "fir",
+                           fastfir.plan_for_block(self.audio_block))
         object.__setattr__(
             self, "agc",
             agc_ops.AgcParams(fs=self.ddc.fs_out))

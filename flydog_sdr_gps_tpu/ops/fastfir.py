@@ -45,6 +45,19 @@ class FastFIRPlan:
         return (self.ntaps - 1) // 2
 
 
+def plan_for_block(audio_block: int) -> FastFIRPlan:
+    """Overlap-save geometry for a given hop (= audio block) size.
+
+    CuteSDR's fixed 1024/513 geometry is the audio_block=512 case; for
+    other block sizes the FFT stays a power of two >= 2*hop and the tap
+    budget absorbs the rest (ntaps = fft - hop + 1).
+    """
+    fft = 1024
+    while fft < 2 * audio_block:
+        fft *= 2
+    return FastFIRPlan(fft_size=fft, ntaps=fft - audio_block + 1)
+
+
 def passband_freq_coef(fs: float, f_lo: float, f_hi: float,
                        atten_db: float = 70.0,
                        plan: FastFIRPlan = FastFIRPlan()) -> np.ndarray:

@@ -1,0 +1,74 @@
+"""Sharded receiver: multi-device step must match the single-device one."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flydog_sdr_gps_tpu import parallel
+from flydog_sdr_gps_tpu.models import rx_channel as rx
+from flydog_sdr_gps_tpu.ops import demod, nco
+from flydog_sdr_gps_tpu.numerology import ADC_CLOCK_NOM
+
+
+def _scene(params, freqs):
+    n = params.ddc.adc_block * 2
+    t = np.arange(n, dtype=np.float64)
+    x = sum(0.3 * np.cos(2 * np.pi * ((f + 500.0) / ADC_CLOCK_NOM * t) % (2*np.pi))
+            for f in freqs[:2])
+    return (x + 0.01 * np.random.default_rng(0).standard_normal(n)
+            ).astype(np.float32)
+
+
+@pytest.mark.parametrize("t_sz,k_sz", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_matches_single(t_sz, k_sz):
+    c = t_sz * k_sz * 2
+    audio_block = 64 * max(t_sz, 2)
+    params = rx.RxParams(num_channels=c, audio_block=audio_block)
+    freqs = np.linspace(2e6, 28e6, c)
+    modes = ([demod.MODE_USB, demod.MODE_AM] * c)[:c]
+    tuning = rx.default_tuning(params, freqs_hz=freqs, modes=modes)
+    x = _scene(params, freqs)
+
+    # single device reference
+    s0 = rx.init_state(params)
+    s0, taps_a = rx.rx_block(params, s0, tuning, jnp.asarray(
+        x[:params.ddc.adc_block]))
+    s0, taps_b = rx.rx_block(params, s0, tuning, jnp.asarray(
+        x[params.ddc.adc_block:]))
+    ref = np.asarray(taps_b.audio)
+
+    # sharded
+    mesh = parallel.make_mesh(time=t_sz, chan=k_sz)
+    tun_s = parallel.shard_rx_tuning(tuning, mesh)
+    st = parallel.shard_rx_state(rx.init_state(params), mesh, params)
+    step = parallel.make_sharded_rx_step(params, mesh)
+    st, taps1 = step(st, tun_s, jnp.asarray(x[:params.ddc.adc_block]))
+    st, taps2 = step(st, tun_s, jnp.asarray(x[params.ddc.adc_block:]))
+    got = np.asarray(taps2.audio)
+
+    assert got.shape == ref.shape
+    # DDC output must match tightly (pure linear path)
+    from flydog_sdr_gps_tpu.ops import cplx
+    np.testing.assert_allclose(cplx.to_numpy(taps2.iq_pre_fir),
+                               cplx.to_numpy(taps_b.iq_pre_fir),
+                               atol=1e-5)
+    # audio: the AGC envelope follower branches (attack vs decay) on
+    # float-epsilon differences, so nonlinear state can diverge at the
+    # 1e-3 level; require agreement well below audibility (-50 dBFS)
+    np.testing.assert_allclose(got, ref, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(taps2.smeter_dbm),
+                               np.asarray(taps_b.smeter_dbm),
+                               atol=0.1)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out_state, taps = jax.jit(fn)(*args)
+    assert taps.audio.shape[0] == 128
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
