@@ -1,0 +1,202 @@
+"""GPS tracking: 12-channel early/prompt/late correlator bank.
+
+Reference split: the FPGA runs per-channel carrier/code NCOs and E/P/L
+accumulators at 16.368 Msps (`verilog/gps/demod.v:72-295`); the e_cpu
+ISR reads accumulators and runs integrator loop filters ~1 kHz
+(`e_cpu/kiwi.gps.asm:452-664`); the host does bit sync, subframes and
+power monitoring (`gps/channel.cpp:376-553`).
+
+TPU design: one `lax.scan` over 1 ms epochs; each step processes ALL
+channels as (nch, 16368) tensor math — carrier wipe (f32 NCO, the
+closed loop absorbs rounding), code table gather at E/P/L phases,
+integrate-and-dump, then classic discriminators + 2nd-order loops:
+FLL-assisted Costas PLL for carrier, carrier-aided 1st-order DLL for
+code.  Prompt I/Q per epoch streams out for host-side bit sync and
+LNAV decoding (`ephemeris.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...numerology import GPS_FC, GPS_FS, L1_CODELEN, CA_CHIP_RATE
+from . import cacode
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class TrackParams:
+    fs: float = GPS_FS
+    fc: float = GPS_FC
+    epoch: int = 16368              # samples per 1 ms epoch
+    pll_bw: float = 18.0            # Hz
+    fll_bw: float = 10.0            # Hz
+    dll_bw: float = 3.0             # Hz
+    corr_spacing: float = 0.5       # chips, E/L offset
+
+    @property
+    def t_epoch(self) -> float:
+        return self.epoch / self.fs
+
+    # standard 2nd-order loop gains (zeta = 0.707)
+    @property
+    def pll_g1(self) -> float:
+        wn = self.pll_bw / 0.53
+        return float(2 * 0.707 * wn * self.t_epoch)
+
+    @property
+    def pll_g2(self) -> float:
+        wn = self.pll_bw / 0.53
+        return float(wn * wn * self.t_epoch * self.t_epoch)
+
+    @property
+    def fll_g(self) -> float:
+        return float(self.fll_bw / 0.25 * self.t_epoch)
+
+    @property
+    def dll_g(self) -> float:
+        return float(4 * self.dll_bw * self.t_epoch)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrackState:
+    """Per-channel tracking state, all (nch,) float32 unless noted."""
+    code_phase: jax.Array       # chips, fractional, mod 1023
+    code_rate: jax.Array        # chips per raw sample
+    carr_phase: jax.Array       # radians
+    carr_freq: jax.Array        # radians per raw sample
+    ip_prev: jax.Array          # previous prompt I (for FLL cross/dot)
+    qp_prev: jax.Array          # previous prompt Q
+    active: jax.Array           # bool — channel enabled
+
+
+def init_track_state(params: TrackParams, prns, code_phases, dopplers
+                     ) -> tuple[TrackState, jax.Array]:
+    """Start tracking from acquisition results.
+
+    code_phases in chips (at the acquisition instant), dopplers in Hz.
+    Returns (state, code_table (nch*1023,) float32).
+    """
+    nch = len(prns)
+    code_rate = np.full(nch, CA_CHIP_RATE, np.float64)
+    dop = np.asarray(dopplers, np.float64)
+    # carrier-derived code Doppler: chip rate scales with (1 + fd/fL1)
+    code_rate *= (1.0 + dop / 1.57542e9)
+    state = TrackState(
+        code_phase=jnp.asarray(np.asarray(code_phases) % L1_CODELEN,
+                               jnp.float32),
+        code_rate=jnp.asarray(code_rate / params.fs, jnp.float32),
+        carr_phase=jnp.zeros((nch,), jnp.float32),
+        carr_freq=jnp.asarray(
+            2 * np.pi * (params.fc + dop) / params.fs, jnp.float32),
+        ip_prev=jnp.zeros((nch,), jnp.float32),
+        qp_prev=jnp.zeros((nch,), jnp.float32),
+        active=jnp.ones((nch,), bool),
+    )
+    table = np.concatenate([cacode.ca_code(p).astype(np.float32)
+                            for p in prns])
+    return state, jnp.asarray(table)
+
+
+def track_epochs(params: TrackParams, state: TrackState,
+                 code_table: jax.Array, raw: jax.Array):
+    """Track over raw (n_epochs, epoch) 1-bit (+-1 float) samples.
+
+    Returns (new_state, outputs) with outputs per epoch:
+    ip, qp (nch,), code_phase snapshot, carr_freq snapshot, cn0 proxy.
+    """
+    nch = state.code_phase.shape[0]
+    n = params.epoch
+    t = jnp.arange(n, dtype=jnp.float32)
+    half = jnp.float32(params.corr_spacing)
+    g1, g2 = jnp.float32(params.pll_g1), jnp.float32(params.pll_g2)
+    gf, gd = jnp.float32(params.fll_g), jnp.float32(params.dll_g)
+    two_pi = jnp.float32(2 * np.pi)
+    ch_off = jnp.arange(nch, dtype=jnp.int32)[:, None] * L1_CODELEN
+
+    def epoch_step(st: TrackState, x):
+        # ---- carrier wipeoff: (nch, n) ----
+        ph = st.carr_phase[:, None] + t[None, :] * st.carr_freq[:, None]
+        cr, sr = jnp.cos(ph), jnp.sin(ph)
+        xi = x[None, :] * cr          # I = x*cos
+        xq = -x[None, :] * sr         # Q = -x*sin  (mix by e^{-j ph})
+
+        # ---- code replicas at E/P/L ----
+        chips = st.code_phase[:, None] + t[None, :] * st.code_rate[:, None]
+
+        def corr(offset):
+            idx = jnp.floor(chips + offset).astype(jnp.int32)
+            idx = jnp.mod(idx, L1_CODELEN) + ch_off
+            c = jnp.take(code_table, idx)
+            return jnp.sum(xi * c, axis=1), jnp.sum(xq * c, axis=1)
+
+        ie, qe = corr(half)
+        ip, qp = corr(0.0)
+        il, ql = corr(-half)
+
+        # ---- discriminators ----
+        e_mag = jnp.sqrt(ie * ie + qe * qe)
+        l_mag = jnp.sqrt(il * il + ql * ql)
+        dll_err = (e_mag - l_mag) / jnp.maximum(e_mag + l_mag, 1e-9)
+        # Costas (bit-insensitive, 2-quadrant) phase detector
+        pll_err = jnp.arctan(qp / jnp.where(jnp.abs(ip) < 1e-9,
+                                            1e-9, ip))
+        # bit-insensitive (2-quadrant) FLL discriminator: atan2 would
+        # jump by pi whenever a nav-bit edge flips the prompt phasor
+        cross = ip * st.qp_prev - qp * st.ip_prev
+        dot = ip * st.ip_prev + qp * st.qp_prev
+        fll_err = jnp.arctan(
+            cross / jnp.where(jnp.abs(dot) < 1e-9, 1e-9, dot))
+
+        # ---- loop updates (per raw sample units) ----
+        dfreq = (g2 * pll_err - gf * fll_err) / n
+        carr_freq = st.carr_freq + dfreq
+        carr_phase = jnp.mod(
+            st.carr_phase + n * st.carr_freq + g1 * pll_err, two_pi)
+        # carrier-aided code rate: code Doppler = carr Doppler / 1540
+        carr_dop = carr_freq / two_pi * params.fs - params.fc
+        code_rate = (CA_CHIP_RATE * (1 + carr_dop / 1.57542e9)
+                     ) / params.fs
+        code_phase = jnp.mod(
+            st.code_phase + n * st.code_rate + gd * dll_err, L1_CODELEN)
+
+        cn0 = (ip * ip + qp * qp) / jnp.maximum(
+            e_mag * e_mag + l_mag * l_mag, 1e-9)
+        new = TrackState(
+            code_phase=code_phase, code_rate=code_rate,
+            carr_phase=carr_phase, carr_freq=carr_freq,
+            ip_prev=ip, qp_prev=qp, active=st.active)
+        out = dict(ip=ip, qp=qp, code_phase=st.code_phase,
+                   carr_freq=carr_freq, dll_err=dll_err,
+                   pll_err=pll_err, cn0=cn0)
+        return new, out
+
+    return lax.scan(epoch_step, state, raw)
+
+
+# ---------------------------------------------------------------------------
+# host-side bit sync (reference: host Tracking() nav-bit collection,
+# `gps/channel.cpp:430-530`)
+# ---------------------------------------------------------------------------
+
+def bit_sync(ip_seq: np.ndarray) -> tuple[int, np.ndarray]:
+    """Find the 20 ms nav-bit boundary and integrate bits.
+
+    ip_seq: (n_epochs,) prompt-I per 1 ms epoch for one channel.
+    Returns (offset, bits +-1) — offset = epochs until first boundary.
+    """
+    ip_seq = np.asarray(ip_seq)
+    flips = np.where(np.diff(np.signbit(ip_seq)))[0] + 1
+    if len(flips) == 0:
+        return 0, np.sign(ip_seq[::20])[: len(ip_seq) // 20]
+    hist = np.bincount(flips % 20, minlength=20)
+    offset = int(np.argmax(hist))
+    usable = ip_seq[offset:]
+    nbits = len(usable) // 20
+    bits = np.sign(usable[: nbits * 20].reshape(nbits, 20).sum(axis=1))
+    return offset, bits.astype(np.int8)

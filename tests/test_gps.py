@@ -1,0 +1,257 @@
+"""GPS subsystem: codes, acquisition, tracking, nav decode, PVT, clock.
+
+File-driven / synthetic regression in the spirit of the reference's
+GPS_SAMPLES_FROM_FILE playback mode (`gps/search.cpp:361-379`).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flydog_sdr_gps_tpu.models.gps import (acquisition, cacode, clock,
+                                           ephemeris, solver, tracking)
+from flydog_sdr_gps_tpu.numerology import GPS_FC, GPS_FS, L1_CODELEN
+
+L1 = 1.57542e9
+
+
+# ---------------------------------------------------------------------------
+# synthetic IF generator
+# ---------------------------------------------------------------------------
+
+def synth_if(sats, n, fs=GPS_FS, fc=GPS_FC, noise=0.7, seed=0,
+             bits=None):
+    """1-bit IF samples for a list of sats:
+    sats = [(prn, code_phase_chips, doppler_hz, amplitude), ...]
+    ``bits``: optional dict prn -> (nav bit array, ms offset).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float64) / fs
+    x = noise * rng.standard_normal(n)
+    for (prn, cp, fd, amp) in sats:
+        chip_rate = 1.023e6 * (1 + fd / L1)
+        code = cacode.ca_code(prn).astype(np.float64)
+        idx = np.floor(cp + t * chip_rate).astype(np.int64)
+        c = code[idx % L1_CODELEN]
+        if bits and prn in bits:
+            bseq, off = bits[prn]
+            ms = ((t * 1000).astype(np.int64) + off)
+            b = np.asarray(bseq)[np.clip(ms // 20, 0, len(bseq) - 1)]
+            c = c * b
+        x += amp * c * np.cos(2 * np.pi * (fc + fd) * t)
+    return np.sign(x).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# C/A codes
+# ---------------------------------------------------------------------------
+
+def test_ca_code_known_octals():
+    """First 10 chips match the published octal values (IS-GPS-200
+    table 3-Ia: PRN1 1440, PRN2 1620, PRN3 1710, PRN19 1633)."""
+    def first10_octal(prn):
+        c = cacode.ca_code(prn)[:10]
+        bits = (1 - c) // 2             # +1 -> 0, -1 -> 1
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return int(oct(v)[2:])
+    assert first10_octal(1) == 1440
+    assert first10_octal(2) == 1620
+    assert first10_octal(3) == 1710
+    assert first10_octal(19) == 1633
+
+
+def test_ca_code_properties():
+    c1 = cacode.ca_code(1).astype(np.int32)
+    c7 = cacode.ca_code(7).astype(np.int32)
+    assert c1.sum() == -1                      # balanced (512 ones)
+    # autocorrelation peak vs next
+    ac = np.array([np.dot(c1, np.roll(c1, k)) for k in range(1023)])
+    assert ac[0] == 1023
+    assert np.abs(ac[1:]).max() <= 65
+    assert abs(np.dot(c1, c7)) <= 65           # cross-correlation bound
+
+
+# ---------------------------------------------------------------------------
+# acquisition
+# ---------------------------------------------------------------------------
+
+def test_acquisition_finds_sats():
+    p = acquisition.AcqParams()
+    sats = [(5, 123.4, +1800.0, 0.5), (17, 800.25, -2600.0, 0.45)]
+    raw = synth_if(sats, p.n_raw)
+    res = acquisition.acquire_all(p, raw, prns=(2, 5, 9, 17, 23, 30))
+    byprn = {r["prn"]: r for r in res}
+    # detected sats must clearly beat the absent ones
+    absent_snr = max(byprn[x]["snr"] for x in (2, 9, 23, 30))
+    for prn, cp, fd, _ in sats:
+        r = byprn[prn]
+        assert r["snr"] > 3 * absent_snr, (prn, r, absent_snr)
+        assert abs(r["doppler"] - fd) <= 130.0, r          # half a bin
+        dcp = (r["code_phase"] - cp) % 1023
+        dcp = min(dcp, 1023 - dcp)
+        assert dcp < 0.6, (r["code_phase"], cp)
+
+
+# ---------------------------------------------------------------------------
+# tracking
+# ---------------------------------------------------------------------------
+
+def test_tracking_locks_and_reads_bits():
+    tp = tracking.TrackParams()
+    n_ms = 260
+    n = tp.epoch * n_ms
+    rng = np.random.default_rng(3)
+    bits = np.asarray([1, -1, -1, 1, 1, 1, -1] * 40)[:n_ms // 20 + 2]
+    sats = [(9, 300.0, +1500.0, 0.8)]
+    raw = synth_if(sats, n, noise=0.5,
+                   bits={9: (bits, 0)})
+    # start tracking with small errors from "acquisition"
+    st, table = tracking.init_track_state(
+        tp, prns=[9], code_phases=[300.0 - 0.3], dopplers=[1500.0 + 80])
+    raw_e = jnp.asarray(raw.reshape(n_ms, tp.epoch))
+    st, outs = tracking.track_epochs(tp, st, table, raw_e)
+    ip = np.asarray(outs["ip"])[:, 0]
+    carr = np.asarray(outs["carr_freq"])[:, 0]
+    f_track = carr[-1] / (2 * np.pi) * tp.fs - tp.fc
+    assert abs(f_track - 1500.0) < 5.0, f_track
+    # prompt power should dominate once phase-locked
+    qp = np.asarray(outs["qp"])[:, 0]
+    tail = slice(n_ms - 60, n_ms)
+    assert np.mean(np.abs(ip[tail])) > 4 * np.mean(np.abs(qp[tail]))
+    # nav bits recoverable (use the locked portion)
+    off, got_bits = tracking.bit_sync(ip[20:])
+    want = bits[1:1 + len(got_bits)]
+    agree = np.mean(got_bits == want[:len(got_bits)])
+    agree = max(agree, 1 - agree)              # BPSK sign ambiguity
+    assert agree > 0.9, agree
+
+
+# ---------------------------------------------------------------------------
+# nav message
+# ---------------------------------------------------------------------------
+
+def make_test_eph():
+    e = ephemeris.Ephemeris(prn=12)
+    e.week = 245
+    e.toc = 302400.0; e.af0 = 4.2e-5; e.af1 = 1.1e-11; e.af2 = 0.0
+    e.iode = 77
+    e.crs = 23.5; e.delta_n = 4.5e-9; e.m0 = 1.2345
+    e.cuc = 2.4e-6; e.e = 0.0123; e.cus = 7.9e-6
+    e.sqrt_a = np.sqrt(26560e3); e.toe = 302400.0
+    e.cic = 5.5e-8; e.omega0 = -2.01; e.cis = -6.1e-8
+    e.i0 = 0.958; e.crc = 201.8; e.omega = 0.77
+    e.omega_dot = -8.1e-9; e.idot = 3.1e-10
+    return e
+
+
+def test_subframe_round_trip():
+    src = make_test_eph()
+    dst = ephemeris.Ephemeris(prn=12)
+    for sub in (1, 2, 3):
+        words = ephemeris.encode_subframe(sub, src)
+        got = ephemeris.decode_subframe(words, dst)
+        assert got == sub
+    assert dst.complete()
+    for f, tol in [("af0", 2e-10), ("m0", 1e-8), ("e", 1e-9),
+                   ("sqrt_a", 1e-5), ("omega0", 1e-8), ("i0", 1e-8),
+                   ("omega", 1e-8), ("crs", 0.05), ("crc", 0.05),
+                   ("delta_n", 1e-12), ("omega_dot", 1e-12)]:
+        assert abs(getattr(dst, f) - getattr(src, f)) < tol, f
+
+
+def test_parity_round_trip_and_error_detection():
+    rng = np.random.default_rng(1)
+    d29, d30 = 0, 1
+    for _ in range(20):
+        data = int(rng.integers(0, 1 << 24))
+        word = ephemeris.parity_encode(data, d29, d30)
+        ok, back = ephemeris.parity_check(word, d29, d30)
+        assert ok and back == data
+        bad = word ^ (1 << int(rng.integers(0, 30)))
+        ok_bad, _ = ephemeris.parity_check(bad, d29, d30)
+        assert not ok_bad
+        d29, d30 = (word >> 1) & 1, word & 1
+
+
+def test_sat_pos_radius():
+    e = make_test_eph()
+    pos, clk = e.sat_pos(302400.0 + 100.0)
+    r = np.linalg.norm(pos)
+    assert 2.5e7 < r < 2.8e7, r
+    # af0 + af1*dt + relativistic term (~2.8e-8 at this eccentricity)
+    assert abs(clk - 4.2e-5) < 5e-8
+
+
+# ---------------------------------------------------------------------------
+# position solution
+# ---------------------------------------------------------------------------
+
+def make_geometry(seed=0, nsat=8):
+    rng = np.random.default_rng(seed)
+    truth = np.array([1113194.0, -4842330.0, 3985000.0])  # ~US east
+    r = 26560e3
+    sats = []
+    while len(sats) < nsat:
+        v = rng.standard_normal(3)
+        v = v / np.linalg.norm(v) * r
+        # keep satellites above the horizon-ish
+        if np.dot(v - truth, truth) > 0:
+            sats.append(v)
+    sat_pos = np.asarray(sats)
+    bias = 8521.77   # meters of receiver clock error
+    pranges = np.linalg.norm(sat_pos - truth, axis=1) + bias
+    return truth, sat_pos, pranges, bias
+
+
+def test_ls_solver_exact():
+    truth, sat_pos, pranges, bias = make_geometry()
+    # forward-model includes earth rotation: emulate by rotating sats
+    # backwards so the solver's Sagnac correction re-aligns them
+    tof = pranges / solver.C_LIGHT
+    ang = ephemeris.OMEGA_E * tof
+    sx = np.cos(ang) * sat_pos[:, 0] - np.sin(ang) * sat_pos[:, 1]
+    sy = np.sin(ang) * sat_pos[:, 0] + np.cos(ang) * sat_pos[:, 1]
+    sat_tx = np.stack([sx, sy, sat_pos[:, 2]], axis=1)
+    pos, b, rms = solver.solve_ls(sat_tx, pranges)
+    assert np.linalg.norm(pos - truth) < 1.0, pos - truth
+    assert abs(b - bias) < 1.0
+    assert rms < 0.5
+
+
+def test_ekf_converges():
+    truth, sat_pos, pranges, bias = make_geometry(seed=2)
+    ekf = solver.EkfSolver()
+    rng = np.random.default_rng(5)
+    pos = None
+    for _ in range(20):
+        noisy = pranges + rng.standard_normal(len(pranges)) * 3.0
+        pos = ekf.update(sat_pos, noisy, dt=2.0)
+    assert np.linalg.norm(pos - truth) < 10.0
+
+
+def test_lla_conversion():
+    lat, lon, alt = solver.lla_from_ecef(
+        np.array([6378137.0, 0.0, 0.0]))
+    assert abs(lat) < 1e-6 and abs(lon) < 1e-6 and abs(alt) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# clock discipline
+# ---------------------------------------------------------------------------
+
+def test_clock_discipline_recovers_true_clock():
+    true_clk = 124.9824e6
+    cd = clock.ClockDiscipline()
+    t = 0.0
+    ticks = 0
+    rng = np.random.default_rng(7)
+    for i in range(40):
+        dt = 2.0 + rng.standard_normal() * 1e-3
+        t += dt
+        ticks = (ticks + int(round(dt * true_clk))) % (1 << 48)
+        cd.update(t, ticks)
+    assert cd.locked
+    assert abs(cd.adc_clock_hz - true_clk) / true_clk < 1e-6
+    assert abs(cd.correction_ppm - (-140.8)) < 2.0
