@@ -47,7 +47,8 @@ def encode(samples: np.ndarray, state: AdpcmState) -> np.ndarray:
     """
     try:
         from ..runtime.native import adpcm_native
-        return adpcm_native.encode(samples, state)
+        if adpcm_native is not None:
+            return adpcm_native.encode(samples, state)
     except ImportError:
         pass
     return _encode_py(samples, state)
@@ -89,11 +90,68 @@ def _encode_py(samples: np.ndarray, state: AdpcmState) -> np.ndarray:
     return out
 
 
+def encode_u8(samples: np.ndarray, state: AdpcmState) -> np.ndarray:
+    """u8-domain IMA variant used by waterfall rows
+    (`rx/csdr/ima_adpcm.cpp:200-214` encode_ima_adpcm_u8_e8):
+    identical quantizer, predictor clamped to [0, 255]."""
+    samples = np.asarray(samples, np.int32)
+    out = np.zeros(len(samples) // 2, np.uint8)
+    pred, idx = state.predictor, state.index
+    for i, s in enumerate(samples):
+        step = int(STEP_TABLE[idx])
+        diff = int(s) - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        delta = step >> 3
+        if nib & 1: delta += step >> 2
+        if nib & 2: delta += step >> 1
+        if nib & 4: delta += step
+        pred = pred - delta if (nib & 8) else pred + delta
+        pred = max(0, min(255, pred))
+        idx = max(0, min(88, idx + int(INDEX_TABLE[nib])))
+        if i & 1:
+            out[i >> 1] |= nib << 4
+        else:
+            out[i >> 1] = nib
+    state.predictor, state.index = pred, idx
+    return out
+
+
+def decode_u8(data: np.ndarray, state: AdpcmState) -> np.ndarray:
+    data = np.asarray(data, np.uint8)
+    out = np.zeros(len(data) * 2, np.uint8)
+    pred, idx = state.predictor, state.index
+    for i in range(len(out)):
+        nib = (data[i >> 1] >> 4) if (i & 1) else (data[i >> 1] & 0xF)
+        step = int(STEP_TABLE[idx])
+        delta = step >> 3
+        if nib & 1: delta += step >> 2
+        if nib & 2: delta += step >> 1
+        if nib & 4: delta += step
+        pred = pred - delta if (nib & 8) else pred + delta
+        pred = max(0, min(255, pred))
+        idx = max(0, min(88, idx + int(INDEX_TABLE[nib])))
+        out[i] = pred
+    state.predictor, state.index = pred, idx
+    return out
+
+
 def decode(data: np.ndarray, state: AdpcmState) -> np.ndarray:
     """Decode packed nibbles -> int16 samples (for tests / monitoring)."""
     try:
         from ..runtime.native import adpcm_native
-        return adpcm_native.decode(data, state)
+        if adpcm_native is not None:
+            return adpcm_native.decode(data, state)
     except ImportError:
         pass
     return _decode_py(data, state)

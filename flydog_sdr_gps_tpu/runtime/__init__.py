@@ -1,0 +1,5 @@
+"""Host-side streaming runtime: sources, block engine, native codecs."""
+
+from .source import (FileSource, SampleSource, SyntheticSource,
+                     DeviceSceneSource)
+from .stream import StreamEngine

@@ -1,0 +1,179 @@
+"""ADC sample sources.
+
+The reference ingests 125 Msps from the FPGA over SPI DMA
+(`rx/data_pump.cpp`).  A TPU has no ADC; the source layer abstracts
+where wideband samples come from:
+
+- :class:`SyntheticSource` — host-side scene (tones/noise) for tests.
+- :class:`FileSource` — raw int16 or float32 capture replay, looped.
+- :class:`DeviceSceneSource` — the production-bench path: the scene is
+  generated ON DEVICE by a jitted program (the host tunnel cannot
+  sustain 500 MB/s; see SURVEY.md section 7 "125 Msps ingest").
+
+All sources deliver float32 blocks, full scale +-1.0, and sanitize
+non-finite values (a NaN would otherwise permanently poison streaming
+filter state — the reference's analogous guard is the data-pump
+overrun reset, `rx/data_pump.cpp:245-269`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..numerology import ADC_CLOCK_NOM
+
+
+class SampleSource:
+    """Produces consecutive float32 ADC blocks; tracks a 48-bit sample
+    counter (the reference's ``ticks_A`` timebase, `verilog/kiwi.v`)."""
+
+    def __init__(self, adc_clock: float = ADC_CLOCK_NOM):
+        self.adc_clock = adc_clock
+        self.ticks = 0                 # 48-bit sample counter
+
+    def next_block(self, n: int) -> np.ndarray:
+        x = self._produce(n)
+        if not np.all(np.isfinite(x)):
+            x = np.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0)
+        self.ticks = (self.ticks + n) % (1 << 48)
+        return x
+
+    def _produce(self, n: int) -> np.ndarray:
+        raise NotImplementedError
+
+
+class SyntheticSource(SampleSource):
+    """Tones + noise scene, host-generated (tests / small setups)."""
+
+    def __init__(self, tones=(), noise_rms: float = 0.0,
+                 adc_clock: float = ADC_CLOCK_NOM, seed: int = 0):
+        super().__init__(adc_clock)
+        self.tones = list(tones)       # (freq_hz, amplitude) or
+                                       # (freq_hz, amplitude, mod_fn)
+        self.noise_rms = noise_rms
+        self._rng = np.random.default_rng(seed)
+
+    def _produce(self, n: int) -> np.ndarray:
+        t = (self.ticks + np.arange(n, dtype=np.float64)) / self.adc_clock
+        x = np.zeros(n, np.float64)
+        for tone in self.tones:
+            f, a = tone[0], tone[1]
+            carrier = np.cos(2 * np.pi * ((f * t) % 1.0))
+            if len(tone) > 2 and tone[2] is not None:
+                carrier = carrier * tone[2](t)
+            x += a * carrier
+        if self.noise_rms:
+            x += self.noise_rms * self._rng.standard_normal(n)
+        return x.astype(np.float32)
+
+
+class FileSource(SampleSource):
+    """Replay a raw capture (int16 native-endian or float32), looped.
+
+    The reference's GPS equivalent is GPS_SAMPLES_FROM_FILE
+    (`gps/search.cpp:361-379`); this generalizes it to the wideband
+    path.
+    """
+
+    def __init__(self, path: str, dtype: str = "int16",
+                 adc_clock: float = ADC_CLOCK_NOM, loop: bool = True):
+        super().__init__(adc_clock)
+        self._data = np.fromfile(path, dtype=np.dtype(dtype))
+        if dtype == "int16":
+            self._data = (self._data.astype(np.float32) / 32768.0)
+        else:
+            self._data = self._data.astype(np.float32)
+        if len(self._data) == 0:
+            raise ValueError(f"empty capture {path}")
+        self._pos = 0
+        self.loop = loop
+
+    def _produce(self, n: int) -> np.ndarray:
+        out = np.zeros(n, np.float32)
+        got = 0
+        while got < n:
+            take = min(n - got, len(self._data) - self._pos)
+            if take <= 0:
+                if not self.loop:
+                    break
+                self._pos = 0
+                continue
+            out[got:got + take] = self._data[self._pos:self._pos + take]
+            self._pos += take
+            got += take
+        return out
+
+
+class DeviceSceneSource:
+    """Device-resident scene generator (production/bench ingest).
+
+    ``make_block(ticks48) -> jax.Array`` runs jitted on device; the
+    host only passes the 48-bit block start tick (as limbs), so no
+    sample data ever crosses the host-device link.
+    """
+
+    def __init__(self, tones=(), noise_rms: float = 0.0,
+                 adc_clock: float = ADC_CLOCK_NOM,
+                 block: int = 512 * 10416):
+        import jax
+        import jax.numpy as jnp
+        from ..ops import nco
+
+        self.adc_clock = adc_clock
+        self.block = block
+        self.ticks = 0
+        fcws = [nco.to_limbs([nco.freq_to_fcw(f, adc_clock)])[0]
+                for (f, _a) in tones]
+        amps = [a for (_f, a) in tones]
+
+        # per-tone phase carries kept as exact HOST integers: no
+        # device round trips per block (the axon tunnel costs ~50 ms
+        # per fetch, so the source must be fetch-free)
+        self._nco = nco
+        self._fcw_ints = [nco.freq_to_fcw(f, adc_clock) for (f, _a) in tones]
+        self._fcws = fcws
+        self._amps = amps
+        self._noise = noise_rms
+        self._phi_ints = [0 for _ in tones]
+        self._key = 0
+
+        def make(phis, key):
+            x = jnp.zeros((block,), jnp.float32)
+            for i, amp in enumerate(self._amps):
+                ph = _device_ramp(nco, phis[i], fcws[i], block)
+                x = x + jnp.float32(amp) * jnp.cos(
+                    jnp.float32(2 * np.pi) * ph)
+            if noise_rms:
+                k = jax.random.PRNGKey(key)
+                x = x + noise_rms * jax.random.normal(k, (block,))
+            return x
+
+        self._make = jax.jit(make)
+
+    def next_block(self, n: int | None = None):
+        import jax.numpy as jnp  # noqa: F401
+        assert n is None or n == self.block
+        phis = [jnp.asarray(self._nco.to_limbs([p])[0])
+                for p in self._phi_ints]
+        x = self._make(phis, self._key)
+        self._key += 1
+        for i, fcw in enumerate(self._fcw_ints):
+            self._phi_ints[i] = (self._phi_ints[i]
+                                 + fcw * self.block) % (1 << 48)
+        self.ticks = (self.ticks + self.block) % (1 << 48)
+        return x
+
+
+def _device_ramp(nco, phi, dphi, n: int):
+    """Chunked exact phase ramp (n may exceed MAX_RAMP)."""
+    import jax.numpy as jnp
+    outs = []
+    p = jnp.asarray(phi)
+    d = jnp.asarray(dphi)
+    off = 0
+    while off < n:
+        step = min(nco.MAX_RAMP, n - off)
+        outs.append(nco.phase_ramp(p, d, step))
+        p = nco.advance(p, d, step)
+        off += step
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]

@@ -1,0 +1,434 @@
+"""KiwiSDR-compatible server: WS streams SND / W/F + REST endpoints.
+
+Reference surface being reproduced (`rx/rx_server.cpp:68-88` stream
+table, `web/web.cpp` Mongoose server):
+
+- ``ws://host/{ts}/SND``  — audio stream; client drives it with
+  "SET" commands (`rx/rx_sound_cmd.cpp`): auth, mod=/low/high/freq,
+  agc=, squelch=, compression=, ...
+- ``ws://host/{ts}/W/F``  — waterfall rows; zoom/start/speed commands
+  (`rx/rx_waterfall.cpp:367-510`).
+- ``GET /status``         — text key=value scraper endpoint
+  (`rx/rx_server_ajax.cpp:538-670`).
+- ``GET /users``          — per-channel occupancy.
+
+Architecture: one asyncio loop; the StreamEngine advances in a thread
+executor (JAX dispatch releases the GIL while the TPU runs); each
+block's outputs fan out to connections.  SND+W/F connections pair by
+the {ts} path component and share an rx channel, exactly like the
+reference's conn pairing (`rx/rx_server.cpp:229`).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+
+import numpy as np
+
+try:
+    from aiohttp import web, WSMsgType
+except ImportError:                      # pragma: no cover
+    web = None
+
+from .. import __version__
+from ..models import rx_channel as rx
+from ..models import waterfall as wf_model
+from ..ops import adpcm, demod
+from ..utils.log import lprintf
+from ..utils.trace import ev, EV_SND, EV_WF, EV_WS
+from . import packets
+
+
+class Connection:
+    """One paired client (SND and/or W/F socket sharing a channel)."""
+
+    def __init__(self, server: "KiwiServer", ts: str):
+        self.server = server
+        self.ts = ts
+        self.rx_chan: int | None = None
+        self.snd_ws = None
+        self.wf_ws = None
+        self.ident = ""
+        self.authed = False
+        self.compression = True
+        self.little_endian = False
+        self.iq_mode = False
+        self.snd_seq = 0
+        self.wf_seq = 0
+        self.adpcm_snd = adpcm.AdpcmState()
+        self.adpcm_wf = adpcm.AdpcmState()
+        self.zoom = 0
+        self.start_bin = 0
+        self.wf_speed = 2
+        self.wf_state = None
+        self.wf_params = None
+        self.wf_tune = None
+        self.wf_cf = 15.0e6
+        self.freq_khz = 7100.0
+        self.mode = "lsb"
+        self.last_active = time.time()
+
+    # -- commands (rx/rx_cmd.cpp + rx_sound_cmd.cpp subset) -------------
+    async def handle_set(self, text: str, which: str) -> None:
+        p = packets.parse_set(text)
+        cmd = p.get("_cmd")
+        eng = self.server.engine
+        ch = self.rx_chan
+        if cmd == "auth":
+            self.authed = True
+            await self.send_msg(which, badp=0)
+            if which == "SND":
+                await self.send_initial_snd_msgs()
+            else:
+                await self.send_initial_wf_msgs()
+        elif cmd == "ident_user":
+            self.ident = p.get("ident_user", "")
+        elif cmd == "mod" and ch is not None:
+            mode = p.get("mod", "usb")
+            lo = float(p.get("low_cut", -4000))
+            hi = float(p.get("high_cut", 4000))
+            freq_khz = float(p.get("freq", self.freq_khz))
+            self.freq_khz = freq_khz
+            self.mode = mode
+            self.iq_mode = mode in ("iq", "drm")
+            eng.set_channel(
+                ch, freq_hz=freq_khz * 1e3,
+                mode=demod.MODE_NAMES.get(mode, demod.MODE_USB),
+                passband=(lo, hi))
+            ev(EV_SND, "retune", f"ch{ch} {freq_khz} {mode}")
+        elif cmd == "agc" and ch is not None:
+            on = p.get("agc", "1") in ("1", "true")
+            gain = float(p.get("manGain", 50))
+            eng.set_channel(ch, agc_on=on, manual_gain_db=gain)
+        elif cmd == "squelch" and ch is not None:
+            eng.set_channel(ch, squelch=float(p.get("sq", 0) or
+                                              p.get("squelch", 0)))
+        elif cmd == "compression":
+            self.compression = p.get("compression", "1") in ("1", "true")
+            self.adpcm_snd = adpcm.AdpcmState()
+        elif cmd == "little-endian":
+            self.little_endian = True
+        elif cmd == "nb":
+            if ch is not None:
+                eng.set_channel(ch, nb_on=p.get("on", "0") in ("1", "true"))
+        elif cmd == "zoom":
+            self.zoom = int(p.get("zoom", 0))
+            self.start_bin = int(float(p.get("start", 0)))
+            self._rebuild_wf()
+        elif cmd == "keepalive":
+            self.last_active = time.time()
+        elif cmd in ("wf_speed", "wf"):
+            if "speed" in p:
+                self.wf_speed = int(p["speed"])
+        # unknown SETs are tolerated, like the reference's default case
+
+    def _rebuild_wf(self) -> None:
+        self.wf_params = wf_model.WfParams(zoom=self.zoom)
+        # center frequency from the start bin (client computes start in
+        # units of HZperStart = ui_srate / (WF_WIDTH << MAX_ZOOM))
+        hz_per_start = self.server.ui_srate / (1024 << 14)
+        span = self.wf_params.span
+        cf = self.start_bin * hz_per_start + span / 2
+        self.wf_cf = min(max(cf, span / 2), self.server.ui_srate)
+        self.wf_tune = wf_model.tune(self.wf_params, self.wf_cf)
+        self.wf_state = wf_model.init_state(self.wf_params)
+        self.adpcm_wf = adpcm.AdpcmState()
+
+    # -- initial MSG volleys --------------------------------------------
+    async def send_msg(self, which: str, **kv) -> None:
+        ws = self.snd_ws if which == "SND" else self.wf_ws
+        if ws is not None and not ws.closed:
+            await ws.send_bytes(packets.msg(**kv))
+
+    async def send_initial_snd_msgs(self) -> None:
+        eng = self.server.engine
+        fs = eng.params.fs_out
+        await self.send_msg("SND", center_freq=int(self.server.ui_srate
+                                                   // 2),
+                            bandwidth=int(self.server.ui_srate),
+                            adc_clk_nom=int(eng.params.adc_clock))
+        # audio_rate is the NOMINAL rate; sample_rate the true one
+        # (reference sends both, client resamples by the ratio)
+        await self.send_msg("SND", audio_init=0,
+                            audio_rate=int(eng.params.snd_rate),
+                            sample_rate=f"{fs:.6f}")
+    async def send_initial_wf_msgs(self) -> None:
+        await self.send_msg("W/F", wf_fft_size=1024,
+                            wf_fps=self.server.wf_fps,
+                            zoom_max=14)
+        await self.send_msg("W/F", bandwidth=int(self.server.ui_srate))
+
+    # -- per-block emitters ---------------------------------------------
+    async def emit_snd_np(self, audio_np: np.ndarray,
+                          iq_np: tuple | None, smeter: float) -> None:
+        """Send one SND packet from the block's (already fetched) host
+        copies — one device fetch serves every connection."""
+        if self.snd_ws is None or self.snd_ws.closed or \
+                self.rx_chan is None:
+            return
+        ch = self.rx_chan
+        flags = 0
+        eng = self.server.engine
+        if self.iq_mode and iq_np is not None:
+            re = iq_np[0][:, ch]
+            im = iq_np[1][:, ch]
+            payload = packets.iq_payload_s16(re, im, self.little_endian)
+            ticks, secs = eng.gps_timestamp()
+            pkt = packets.snd_packet_iq(
+                flags, self.snd_seq, smeter, 0,
+                int(secs) % (7 * 24 * 3600), int((secs % 1.0) * 1e9),
+                payload)
+        else:
+            audio = audio_np[:, ch]
+            if self.compression:
+                s16 = np.clip(audio * 32767.0, -32768,
+                              32767).astype(np.int16)
+                payload = adpcm.encode(s16, self.adpcm_snd).tobytes()
+                flags |= packets.SND_FLAG_COMPRESSED
+            else:
+                payload = packets.audio_payload_s16(
+                    audio, self.little_endian)
+            if self.little_endian:
+                flags |= packets.SND_FLAG_LITTLE_ENDIAN
+            pkt = packets.snd_packet(flags, self.snd_seq, smeter, payload)
+        self.snd_seq += 1
+        await self.snd_ws.send_bytes(pkt)
+
+    async def emit_wf(self, x_dev) -> None:
+        """Ingest the raw block into this connection's WF chain and
+        send a row when the frame pacing allows."""
+        if self.wf_ws is None or self.wf_ws.closed or \
+                self.wf_params is None:
+            return
+        import jax.numpy as jnp
+        # deep zooms need 2^z-divisible ingest lengths: accumulate raw
+        # blocks first (reference analogue: slow continuous fill,
+        # `rx_waterfall.cpp:980-1005`)
+        need = self.wf_params.ingest_blocks(x_dev.shape[0])
+        if need > 1:
+            self._wf_acc = getattr(self, "_wf_acc", [])
+            self._wf_acc.append(x_dev)
+            if len(self._wf_acc) < need:
+                return
+            x_dev = jnp.concatenate(self._wf_acc)
+            self._wf_acc = []
+        br, bi, dphi = self.wf_tune
+        self.wf_state = wf_model.wf_ingest(
+            self.wf_params, self.wf_state, x_dev,
+            jnp.asarray(br), jnp.asarray(bi), jnp.asarray(dphi))
+        # pacing: server block rate ~23.4/s; speed selects a divisor
+        fps_div = {0: 23, 1: 23, 2: 2, 3: 1, 4: 1}.get(self.wf_speed, 2)
+        if self.wf_seq % max(fps_div, 1) == 0:
+            row_db = wf_model.wf_frame(self.wf_params, self.wf_state)
+            row = np.asarray(wf_model.wf_row_u8(
+                row_db + self.server.wf_cal))
+            # zoom 0 is never compressed (strong-carrier interaction,
+            # `rx_waterfall.cpp:1284-1285`); fresh codec state + 10-byte
+            # pad of the first value per row (`:1625-1627`)
+            if self.compression and self.zoom != 0:
+                st = adpcm.AdpcmState()
+                padded = np.concatenate(
+                    [np.full(packets.ADPCM_PAD, row[0], np.uint8), row])
+                data = adpcm.encode_u8(padded, st)
+                pkt = packets.wf_packet(self.start_bin, self.zoom,
+                                        self.wf_seq, data.tobytes(),
+                                        compressed=True)
+            else:
+                pkt = packets.wf_packet(self.start_bin, self.zoom,
+                                        self.wf_seq, row.tobytes())
+            await self.wf_ws.send_bytes(pkt)
+            ev(EV_WF, "row", f"z{self.zoom}")
+        self.wf_seq += 1
+
+
+class KiwiServer:
+    """The web server + stream scheduler."""
+
+    def __init__(self, engine, cfg=None, port: int = 8073,
+                 ui_srate: float = 30.0e6, wf_fps: int = 23,
+                 realtime: bool = False):
+        if web is None:
+            raise RuntimeError("aiohttp not available")
+        self.engine = engine
+        self.cfg = cfg
+        self.port = port
+        self.ui_srate = ui_srate
+        self.wf_fps = wf_fps
+        self.wf_cal = -13.0
+        self.realtime = realtime
+        self.conns: dict[str, Connection] = {}
+        self.start_time = time.time()
+        self._stop = asyncio.Event()
+        self.app = web.Application()
+        self.app.router.add_get("/status", self.http_status)
+        self.app.router.add_get("/users", self.http_users)
+        self.app.router.add_get("/{ts}/{stream:.*}", self.ws_entry)
+
+    # -- channel management (rx_enable / rx_chan_free_count analogue) ---
+    def claim_channel(self, conn: Connection) -> int | None:
+        used = {c.rx_chan for c in self.conns.values()
+                if c.rx_chan is not None}
+        for ch in range(self.engine.params.num_channels):
+            if ch not in used:
+                conn.rx_chan = ch
+                self.engine.ctl[ch].in_use = True
+                return ch
+        return None
+
+    def release(self, conn: Connection) -> None:
+        if conn.rx_chan is not None:
+            self.engine.ctl[conn.rx_chan].in_use = False
+        self.conns.pop(conn.ts, None)
+
+    # -- websocket endpoints --------------------------------------------
+    async def ws_entry(self, request):
+        ts = request.match_info["ts"]
+        stream = request.match_info["stream"]
+        if stream not in ("SND", "W/F", "EXT", "ADMIN", "MON"):
+            return web.Response(status=404, text="no such stream")
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        conn = self.conns.get(ts)
+        if conn is None:
+            conn = Connection(self, ts)
+            self.conns[ts] = conn
+        if stream == "SND":
+            conn.snd_ws = ws
+            if conn.rx_chan is None and self.claim_channel(conn) is None:
+                await ws.send_bytes(packets.msg(too_busy=1))
+                await ws.close()
+                self.release(conn)
+                return ws
+        elif stream == "W/F":
+            conn.wf_ws = ws
+            if conn.rx_chan is None:
+                self.claim_channel(conn)
+        lprintf("WS %s connect ts=%s ch=%s", stream, ts, conn.rx_chan)
+        ev(EV_WS, "connect", f"{stream} {ts}")
+        try:
+            async for m in ws:
+                if m.type == WSMsgType.TEXT:
+                    await conn.handle_set(m.data, stream)
+                elif m.type == WSMsgType.BINARY:
+                    await conn.handle_set(m.data.decode("utf-8",
+                                                        "ignore"),
+                                          stream)
+                elif m.type == WSMsgType.ERROR:
+                    break
+        finally:
+            if stream == "SND":
+                conn.snd_ws = None
+            elif stream == "W/F":
+                conn.wf_ws = None
+            if conn.snd_ws is None and conn.wf_ws is None:
+                self.release(conn)
+            lprintf("WS %s disconnect ts=%s", stream, ts)
+        return ws
+
+    # -- REST ------------------------------------------------------------
+    async def http_status(self, request):
+        """Text status, key=value per line (`rx_server_ajax.cpp:538`)."""
+        eng = self.engine
+        users = sum(1 for c in self.conns.values()
+                    if c.rx_chan is not None)
+        fields = {
+            "status": "active",
+            "offline": "no",
+            "name": (self.cfg.string("rx_name")
+                     if self.cfg else "flydog_sdr_gps_tpu"),
+            "sdr_hw": "TPU v5e (flydog_sdr_gps_tpu)",
+            "users": users,
+            "users_max": eng.params.num_channels,
+            "avatar_ctime": 0,
+            "gps": "(0, 0)",
+            "gps_good": 0,
+            "fixes": 0,
+            "adc_ov": 0,
+            "bands": int(self.ui_srate / 1e3),
+            "freq_offset": 0.0,
+            "sw_version": f"KiwiSDR_TPU_v{__version__}",
+            "antenna": "",
+            "uptime": int(time.time() - self.start_time),
+        }
+        body = "\n".join(f"{k}={v}" for k, v in fields.items())
+        return web.Response(text=body)
+
+    async def http_users(self, request):
+        out = []
+        for c in self.conns.values():
+            if c.rx_chan is not None:
+                out.append({"i": c.rx_chan, "n": c.ident,
+                            "f": c.freq_khz, "m": c.mode,
+                            "t": int(time.time() - c.last_active)})
+        return web.Response(text=json.dumps(out),
+                            content_type="application/json")
+
+    # -- stream scheduler ------------------------------------------------
+    async def block_loop(self):
+        """Advance the engine and fan out packets, paced to real time
+        when ``realtime`` (the reference's SND interrupt pacing)."""
+        import jax.numpy as jnp
+        loop = asyncio.get_running_loop()
+        block_period = (self.engine.params.ddc.adc_block /
+                        self.engine.params.adc_clock)
+        next_t = time.monotonic()
+        while not self._stop.is_set():
+            try:
+                taps = await loop.run_in_executor(
+                    None, self.engine.run_block)
+            except Exception as e:      # noqa: BLE001 — keep serving
+                import traceback
+                lprintf("block_loop error: %s", e)
+                traceback.print_exc()
+                await asyncio.sleep(0.5)
+                continue
+            # ONE batched device fetch per block: the axon tunnel costs
+            # ~50 ms latency per round trip, so per-connection fetches
+            # would blow the 42.7 ms real-time budget
+            need_iq = any(c.iq_mode for c in self.conns.values())
+            import jax
+            fetch = (taps.audio, taps.smeter_dbm) + (
+                (taps.iq_post_agc.re, taps.iq_post_agc.im)
+                if need_iq else ())
+            got = await loop.run_in_executor(None, jax.device_get, fetch)
+            audio_np, smeter = got[0], got[1]
+            iq_np = (got[2], got[3]) if need_iq else None
+            x_dev = None
+            for conn in list(self.conns.values()):
+                try:
+                    if conn.authed and conn.snd_ws is not None and \
+                            conn.rx_chan is not None:
+                        await conn.emit_snd_np(
+                            audio_np, iq_np,
+                            float(smeter[conn.rx_chan]))
+                    if conn.authed and conn.wf_ws is not None and \
+                            conn.wf_params is not None:
+                        if x_dev is None:
+                            x_dev = self.engine._last_x
+                        await conn.emit_wf(x_dev)
+                except ConnectionResetError:
+                    pass
+            if self.realtime:
+                next_t += block_period
+                delay = next_t - time.monotonic()
+                if delay > 0:
+                    await asyncio.sleep(delay)
+                else:
+                    next_t = time.monotonic()
+            else:
+                await asyncio.sleep(0)
+
+    async def start(self):
+        runner = web.AppRunner(self.app)
+        await runner.setup()
+        site = web.TCPSite(runner, "0.0.0.0", self.port)
+        await site.start()
+        self._block_task = asyncio.create_task(self.block_loop())
+        lprintf("KiwiServer listening on :%d", self.port)
+        return runner
+
+    async def stop(self):
+        self._stop.set()
+        self._block_task.cancel()

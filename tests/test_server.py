@@ -1,0 +1,133 @@
+"""End-to-end server test: WS client tunes a channel and hears a tone.
+
+This is the build plan's "minimum end-to-end slice" gate (SURVEY.md
+section 7 step 3): synthetic ADC stream -> DDC -> demod -> WebSocket
+out, driven through the KiwiSDR wire protocol.
+"""
+
+import asyncio
+import struct
+
+import numpy as np
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+
+from flydog_sdr_gps_tpu.models import rx_channel as rx
+from flydog_sdr_gps_tpu.ops import adpcm
+from flydog_sdr_gps_tpu.runtime import StreamEngine, SyntheticSource
+from flydog_sdr_gps_tpu.server import KiwiServer, packets
+
+PORT = 18073
+
+
+def make_server():
+    params = rx.RxParams(num_channels=2, audio_block=128)
+    src = SyntheticSource(tones=((14.201e6, 0.5),), noise_rms=0.001)
+    eng = StreamEngine(params, src)
+    return KiwiServer(eng, port=PORT, realtime=False)
+
+
+async def ws_connect(session, stream):
+    return await session.ws_connect(
+        f"http://127.0.0.1:{PORT}/1234567890/{stream}")
+
+
+async def scenario():
+    server = make_server()
+    runner = await server.start()
+    try:
+        async with aiohttp.ClientSession() as session:
+            # --- REST /status ---
+            async with session.get(
+                    f"http://127.0.0.1:{PORT}/status") as r:
+                text = await r.text()
+                assert "users_max=2" in text
+                assert "status=active" in text
+
+            # --- SND stream ---
+            ws = await ws_connect(session, "SND")
+            await ws.send_str("SET auth t=kiwi p=")
+            await ws.send_str("SET ident_user=pytest")
+            await ws.send_str(
+                "SET mod=usb low_cut=300 high_cut=2700 freq=14200.00")
+            await ws.send_str("SET compression=1")
+
+            msgs = {}
+            audio = []
+            smeters = []
+            seqs = []
+            dec = adpcm.AdpcmState()
+            for _ in range(80):
+                m = await asyncio.wait_for(ws.receive(), timeout=30)
+                if m.type != aiohttp.WSMsgType.BINARY:
+                    continue
+                data = m.data
+                tag = data[:3]
+                if tag == b"MSG":
+                    for tok in data[4:].decode().split():
+                        if "=" in tok:
+                            k, v = tok.split("=", 1)
+                            msgs[k] = v
+                elif tag == b"SND":
+                    flags = data[3]
+                    (seq,) = struct.unpack("<I", data[4:8])
+                    (sm,) = struct.unpack(">H", data[8:10])
+                    seqs.append(seq)
+                    smeters.append(sm / 10.0 - 127.0)
+                    assert flags & packets.SND_FLAG_COMPRESSED
+                    audio.append(adpcm.decode(
+                        np.frombuffer(data[10:], np.uint8), dec))
+                    if len(audio) >= 24:
+                        break
+            await ws.close()
+
+            assert msgs.get("badp") == "0"
+            assert "audio_rate" in msgs and int(msgs["audio_rate"]) == 12000
+            assert seqs == list(range(len(seqs)))
+            a = np.concatenate(audio).astype(np.float64) / 32768.0
+            a = a[1024:]                     # group delay + AGC settle
+            spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+            f = np.fft.rfftfreq(len(a), 1 / 12000.77)
+            peak = f[np.argmax(spec)]
+            assert abs(peak - 1000.0) < 40, peak
+            assert max(smeters) > -40        # strong tone registers
+
+            # --- W/F stream ---
+            ws2 = await ws_connect(session, "W/F")
+            await ws2.send_str("SET auth t=kiwi p=")
+            await ws2.send_str("SET zoom=4 start=1000000")
+            rows = []
+            for _ in range(40):
+                m = await asyncio.wait_for(ws2.receive(), timeout=30)
+                if m.type != aiohttp.WSMsgType.BINARY:
+                    continue
+                if m.data[:4] == b"W/F ":
+                    x_bin, fz, seq = struct.unpack("<III", m.data[4:16])
+                    assert fz & 0xFFFF == 4
+                    if fz & packets.WF_FLAGS_COMPRESSION:
+                        st = adpcm.AdpcmState()
+                        row = adpcm.decode_u8(
+                            np.frombuffer(m.data[16:], np.uint8),
+                            st)[packets.ADPCM_PAD:]
+                    else:
+                        row = np.frombuffer(m.data[16:], np.uint8)
+                    assert len(row) == 1024
+                    rows.append(row)
+                    if len(rows) >= 3:
+                        break
+            await ws2.close()
+            assert len(rows) >= 1
+
+            # --- /users shows the (now disconnected) channels freed ---
+            async with session.get(
+                    f"http://127.0.0.1:{PORT}/users") as r:
+                users = await r.json()
+            assert isinstance(users, list)
+    finally:
+        await server.stop()
+        await runner.cleanup()
+
+
+def test_end_to_end_ws_audio_and_waterfall():
+    asyncio.run(scenario())
