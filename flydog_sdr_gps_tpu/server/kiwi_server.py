@@ -36,6 +36,7 @@ from .. import __version__
 from ..models import rx_channel as rx
 from ..models import waterfall as wf_model
 from ..ops import adpcm, demod
+from .. import extensions as ext_mod
 from ..utils.log import lprintf
 from ..utils.trace import ev, EV_SND, EV_WF, EV_WS
 from . import packets
@@ -68,6 +69,8 @@ class Connection:
         self.wf_cf = 15.0e6
         self.freq_khz = 7100.0
         self.mode = "lsb"
+        self.ext = None
+        self.ext_ws = None
         self.last_active = time.time()
 
     # -- commands (rx/rx_cmd.cpp + rx_sound_cmd.cpp subset) -------------
@@ -81,7 +84,7 @@ class Connection:
             await self.send_msg(which, badp=0)
             if which == "SND":
                 await self.send_initial_snd_msgs()
-            else:
+            elif which == "W/F":
                 await self.send_initial_wf_msgs()
         elif cmd == "ident_user":
             self.ident = p.get("ident_user", "")
@@ -122,6 +125,20 @@ class Connection:
         elif cmd in ("wf_speed", "wf"):
             if "speed" in p:
                 self.wf_speed = int(p["speed"])
+        elif cmd == "ext_switch_to_client":
+            name = p.get("ext_switch_to_client", "")
+            if name in ext_mod.ext_list() and ch is not None:
+                self.ext = ext_mod.ext_create(name, eng, ch)
+                self.ext.start(**{k: v for k, v in p.items()
+                                  if not k.startswith("_")})
+                await self.send_ext(b"ready", name.encode())
+        elif cmd == "ext_blur":
+            if self.ext is not None:
+                self.ext.stop()
+                self.ext = None
+        elif self.ext is not None:
+            for tag, payload in self.ext.command(p):
+                await self.send_ext(tag.encode(), payload)
         # unknown SETs are tolerated, like the reference's default case
 
     def _rebuild_wf(self) -> None:
@@ -136,9 +153,15 @@ class Connection:
         self.wf_state = wf_model.init_state(self.wf_params)
         self.adpcm_wf = adpcm.AdpcmState()
 
+    async def send_ext(self, tag: bytes, payload: bytes) -> None:
+        ws = self.ext_ws or self.snd_ws
+        if ws is not None and not ws.closed:
+            await ws.send_bytes(b"EXT " + tag + b" " + payload)
+
     # -- initial MSG volleys --------------------------------------------
     async def send_msg(self, which: str, **kv) -> None:
-        ws = self.snd_ws if which == "SND" else self.wf_ws
+        ws = {"SND": self.snd_ws, "W/F": self.wf_ws,
+              "EXT": self.ext_ws}.get(which)
         if ws is not None and not ws.closed:
             await ws.send_bytes(packets.msg(**kv))
 
@@ -294,7 +317,11 @@ class KiwiServer:
         if conn is None:
             conn = Connection(self, ts)
             self.conns[ts] = conn
-        if stream == "SND":
+        if stream == "EXT":
+            conn.ext_ws = ws
+            if conn.rx_chan is None:
+                self.claim_channel(conn)
+        elif stream == "SND":
             conn.snd_ws = ws
             if conn.rx_chan is None and self.claim_channel(conn) is None:
                 await ws.send_bytes(packets.msg(too_busy=1))
@@ -322,7 +349,10 @@ class KiwiServer:
                 conn.snd_ws = None
             elif stream == "W/F":
                 conn.wf_ws = None
-            if conn.snd_ws is None and conn.wf_ws is None:
+            elif stream == "EXT":
+                conn.ext_ws = None
+            if conn.snd_ws is None and conn.wf_ws is None and \
+                    conn.ext_ws is None:
                 self.release(conn)
             lprintf("WS %s disconnect ts=%s", stream, ts)
         return ws
@@ -408,6 +438,11 @@ class KiwiServer:
                         if x_dev is None:
                             x_dev = self.engine._last_x
                         await conn.emit_wf(x_dev)
+                    if conn.ext is not None:
+                        msgs = await loop.run_in_executor(
+                            None, conn.ext.process_block, taps)
+                        for tag, payload in msgs:
+                            await conn.send_ext(tag.encode(), payload)
                 except ConnectionResetError:
                     pass
             if self.realtime:

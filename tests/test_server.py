@@ -119,6 +119,26 @@ async def scenario():
             await ws2.close()
             assert len(rows) >= 1
 
+            # --- EXT stream: attach the S_meter extension ---
+            ws3 = await ws_connect(session, "EXT")
+            await ws3.send_str("SET auth t=kiwi p=")
+            await ws3.send_str("SET ext_switch_to_client=S_meter "
+                               "first_time=1")
+            got_ready = got_data = False
+            for _ in range(30):
+                m = await asyncio.wait_for(ws3.receive(), timeout=30)
+                if m.type != aiohttp.WSMsgType.BINARY:
+                    continue
+                if m.data.startswith(b"EXT ready"):
+                    got_ready = True
+                if m.data.startswith(b"EXT smeter "):
+                    (dbm,) = struct.unpack("<f", m.data[11:15])
+                    assert -180.0 < dbm < 10.0
+                    got_data = True
+                    break
+            await ws3.close()
+            assert got_ready and got_data
+
             # --- /users shows the (now disconnected) channels freed ---
             async with session.get(
                     f"http://127.0.0.1:{PORT}/users") as r:
