@@ -242,11 +242,36 @@ def stage1_apply(plan: DDCPlan, x_ext: jax.Array,
     return Cplx(yr * c - yi * s, yr * s + yi * c)
 
 
-def stage2_apply(plan: DDCPlan, y_ext: Cplx) -> Cplx:
-    """Shared-tap polyphase decimation over all channels (VPU).
+def stage2_apply(plan: DDCPlan, y_ext: Cplx,
+                 method: str = "auto") -> Cplx:
+    """Shared-tap decimation over all channels.
 
     y_ext: (k1 + tail2, C) split complex.  Returns (k2, C) audio.
+
+    Three equivalent implementations:
+    - ``poly``: unrolled polyphase accumulate (XLA/VPU) — reads the
+      input m2 (~24) times; fine for small C / CPU tests.
+    - ``fft``: overlap-save correlation via the matmul-FFT — single
+      read, but HIGHEST-precision transforms cost more than the
+      bandwidth they save (kept for reference/験証).
+    - ``pallas``: VMEM-resident tap reduction (ops/pallas_kernels) —
+      input read exactly once.  Opt-in: on the axon remote-compile
+      path Mosaic compilation takes minutes and the measured win over
+      XLA's fused poly path is small (~10%), so ``auto`` stays with
+      poly until the kernel's inner schedule is tuned.
     """
+    if method == "auto":
+        method = "poly"
+    if method == "pallas":
+        from .pallas_kernels import stage2_pallas
+        k2 = (y_ext.shape[0] - plan.tail2) // plan.d2
+        return stage2_pallas(y_ext, plan.h2, plan.d2, k2)
+    if method == "fft":
+        return _stage2_fft(plan, y_ext)
+    return _stage2_poly(plan, y_ext)
+
+
+def _stage2_poly(plan: DDCPlan, y_ext: Cplx) -> Cplx:
     d2, m2 = plan.d2, plan.m2
     k2 = (y_ext.shape[0] - plan.tail2) // d2
     c = y_ext.shape[-1]
@@ -261,6 +286,35 @@ def stage2_apply(plan: DDCPlan, y_ext: Cplx) -> Cplx:
         return acc
 
     return Cplx(decim(y_ext.re), decim(y_ext.im))
+
+
+@functools.lru_cache(maxsize=8)
+def _stage2_h_fft(plan: DDCPlan, nfft: int):
+    """conj(FFT(h2)) padded to nfft — correlation kernel (host)."""
+    h = np.zeros(nfft, np.float64)
+    h[:plan.l2] = plan.h2
+    hf = np.conj(np.fft.fft(h))
+    return (hf.real.astype(np.float32), hf.imag.astype(np.float32))
+
+
+def _stage2_fft(plan: DDCPlan, y_ext: Cplx) -> Cplx:
+    """out[k] = sum_l h2[l] * y_ext[k*d2 + l] via FFT correlation."""
+    from . import fft as fft_ops
+    kp, c = y_ext.shape
+    k2 = (kp - plan.tail2) // plan.d2
+    nfft = 1 << (kp - 1).bit_length()
+    if nfft - plan.l2 < (k2 - 1) * plan.d2 + 1:
+        nfft *= 2                      # ensure linear (not circular)
+    hr, hi = _stage2_h_fft(plan, nfft)
+    hf = Cplx(jnp.asarray(hr), jnp.asarray(hi))
+    yt = y_ext.T                        # (C, kp)
+    pad = nfft - kp
+    yp = Cplx(jnp.pad(yt.re, ((0, 0), (0, pad))),
+              jnp.pad(yt.im, ((0, 0), (0, pad))))
+    spec = fft_ops.fft(yp)
+    corr = fft_ops.ifft(spec * hf)      # (C, nfft) correlation
+    out = corr[:, : k2 * plan.d2 : plan.d2]
+    return out.T
 
 
 @functools.partial(jax.jit, static_argnums=0)

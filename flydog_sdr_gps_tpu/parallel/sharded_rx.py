@@ -150,8 +150,11 @@ def make_sharded_rx_step(params: rx.RxParams, mesh: Mesh):
         x_ext = jnp.concatenate([left1, x_sh])
         phi_local = nco.advance(state.ddc.phi1, tuning.dphi1,
                                 tidx * k1_local)
+        prec = (lax.Precision.HIGH if params.precision == "high"
+                else lax.Precision.HIGHEST)
         y1 = chz.stage1_apply(plan, x_ext, tuning.bank_r, tuning.bank_i,
-                              phi_local, tuning.dphi1)   # (k1_local, c_chan)
+                              phi_local, tuning.dphi1,
+                              precision=prec)   # (k1_local, c_chan)
 
         # ---- stage 2 halo: previous shard's last tail2 DDC outputs ----
         h_re = lax.ppermute(y1.re[-plan.tail2:], "time", right)

@@ -71,6 +71,7 @@ class Connection:
         self.mode = "lsb"
         self.ext = None
         self.ext_ws = None
+        self.camping = False          # MON stream: listen-only share
         self.last_active = time.time()
 
     # -- commands (rx/rx_cmd.cpp + rx_sound_cmd.cpp subset) -------------
@@ -284,10 +285,35 @@ class KiwiServer:
         self.conns: dict[str, Connection] = {}
         self.start_time = time.time()
         self._stop = asyncio.Event()
+        # CIDR blacklist (net/ip_blacklist.cpp analogue)
+        self.ip_blacklist: list[tuple[int, int]] = []
+        self.snr_history: list[dict] = []
         self.app = web.Application()
         self.app.router.add_get("/status", self.http_status)
         self.app.router.add_get("/users", self.http_users)
+        self.app.router.add_get("/snr", self.http_snr)
         self.app.router.add_get("/{ts}/{stream:.*}", self.ws_entry)
+
+    # -- IP blacklist (downloadable + local CIDR list,
+    #    net/ip_blacklist.cpp:1-324 semantics) -------------------------
+    def blacklist_add(self, cidr: str) -> None:
+        ip, _, bits = cidr.partition("/")
+        bits = int(bits or 32)
+        parts = [int(x) for x in ip.split(".")]
+        addr = (parts[0] << 24) | (parts[1] << 16) | \
+            (parts[2] << 8) | parts[3]
+        mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF
+        self.ip_blacklist.append((addr & mask, mask))
+
+    def ip_blocked(self, ip: str) -> bool:
+        try:
+            parts = [int(x) for x in ip.split(".")]
+            addr = (parts[0] << 24) | (parts[1] << 16) | \
+                (parts[2] << 8) | parts[3]
+        except (ValueError, IndexError):
+            return False
+        return any((addr & mask) == net for (net, mask)
+                   in self.ip_blacklist)
 
     # -- channel management (rx_enable / rx_chan_free_count analogue) ---
     def claim_channel(self, conn: Connection) -> int | None:
@@ -301,7 +327,8 @@ class KiwiServer:
         return None
 
     def release(self, conn: Connection) -> None:
-        if conn.rx_chan is not None:
+        # campers share someone else's channel — never free it
+        if conn.rx_chan is not None and not conn.camping:
             self.engine.ctl[conn.rx_chan].in_use = False
         self.conns.pop(conn.ts, None)
 
@@ -311,6 +338,11 @@ class KiwiServer:
         stream = request.match_info["stream"]
         if stream not in ("SND", "W/F", "EXT", "ADMIN", "MON"):
             return web.Response(status=404, text="no such stream")
+        peer = request.remote or ""
+        if self.ip_blocked(peer):
+            return web.Response(status=403, text="blocked")
+        if stream == "ADMIN":
+            return await self.ws_admin(request)
         ws = web.WebSocketResponse()
         await ws.prepare(request)
         conn = self.conns.get(ts)
@@ -332,6 +364,17 @@ class KiwiServer:
             conn.wf_ws = ws
             if conn.rx_chan is None:
                 self.claim_channel(conn)
+        elif stream == "MON":
+            # camp on an occupied channel: listen-only fan-out
+            # (rx/rx_monitor.cpp c2s_mon / c2s_sound_camp)
+            conn.snd_ws = ws
+            targets = [c for c in self.conns.values()
+                       if c is not conn and c.rx_chan is not None]
+            if targets:
+                conn.rx_chan = targets[0].rx_chan
+                conn.camping = True
+            else:
+                await ws.send_bytes(packets.msg(no_one_to_camp=1))
         lprintf("WS %s connect ts=%s ch=%s", stream, ts, conn.rx_chan)
         ev(EV_WS, "connect", f"{stream} {ts}")
         try:
@@ -394,6 +437,63 @@ class KiwiServer:
                             "t": int(time.time() - c.last_active)})
         return web.Response(text=json.dumps(out),
                             content_type="application/json")
+
+    async def ws_admin(self, request):
+        """ADMIN stream: config get/set/save, log tail, stats
+        (`ui/admin.cpp:325` c2s_admin subset)."""
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        from ..utils.log import get_log
+        async for m in ws:
+            if m.type not in (WSMsgType.TEXT, WSMsgType.BINARY):
+                break
+            text = m.data if isinstance(m.data, str) else \
+                m.data.decode("utf-8", "ignore")
+            p = packets.parse_set(text)
+            cmd = p.get("_cmd")
+            if cmd == "auth":
+                await ws.send_bytes(packets.msg(badp=0))
+            elif cmd == "get_config":
+                body = json.dumps(self.cfg.doc if self.cfg else {})
+                await ws.send_bytes(b"CFG " + body.encode())
+            elif cmd == "set_config" and self.cfg is not None:
+                key = p.get("key", "")
+                if key:
+                    self.cfg.set(key, p.get("value", ""))
+                    await ws.send_bytes(packets.msg(cfg_seq=self.cfg.seq))
+            elif cmd == "save_config" and self.cfg is not None:
+                self.cfg.save()
+                await ws.send_bytes(packets.msg(saved=1))
+            elif cmd == "log":
+                tail = "\n".join(get_log().tail(
+                    int(p.get("n", 50))))
+                await ws.send_bytes(b"LOG " + tail.encode())
+            elif cmd == "stats":
+                await ws.send_bytes(packets.msg(
+                    blocks=self.engine.seq, resets=self.engine.resets,
+                    users=len(self.conns)))
+            elif cmd == "blacklist_add":
+                self.blacklist_add(p.get("cidr", "0.0.0.0/32"))
+                await ws.send_bytes(packets.msg(
+                    blacklist_len=len(self.ip_blacklist)))
+        return ws
+
+    async def http_snr(self, request):
+        """SNR self-measurement history (`rx/rx_util.cpp:917-1080`
+        SNR_meas analogue; measurements appended by snr_measure())."""
+        return web.Response(text=json.dumps(self.snr_history),
+                            content_type="application/json")
+
+    def snr_measure(self, row_db: np.ndarray) -> dict:
+        """One SNR measurement from a full-band waterfall row:
+        SNR = (95th - 50th percentile), the reference's metric."""
+        p50 = float(np.percentile(row_db, 50))
+        p95 = float(np.percentile(row_db, 95))
+        meas = dict(ts=int(time.time()), p50=round(p50, 1),
+                    p95=round(p95, 1), snr=round(p95 - p50, 1))
+        self.snr_history.append(meas)
+        self.snr_history = self.snr_history[-168:]   # a week at 1/hr
+        return meas
 
     # -- stream scheduler ------------------------------------------------
     async def block_loop(self):

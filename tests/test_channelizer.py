@@ -119,6 +119,30 @@ def test_multi_channel_independence():
     assert sinad_a > 60 and sinad_b > 60
 
 
+def test_20k_family_rx3():
+    """The 20.25 kHz firmware family (rx3, decim 6172 = 1543*4)."""
+    from flydog_sdr_gps_tpu.numerology import CONFIGS, SND_RATE_20K
+    from flydog_sdr_gps_tpu.models import rx_channel as rxm
+    plan = chz.make_ddc_plan(snd_rate=SND_RATE_20K, audio_block=256)
+    assert plan.total_decim == 6172
+    assert abs(plan.fs_out - ADC_CLOCK_NOM / 6172) < 1e-9
+    f_tuned = 9.5e6
+    fcw = nco.freq_to_fcw(f_tuned, ADC_CLOCK_NOM)
+    n = plan.adc_block * 3
+    t = np.arange(n, dtype=np.float64)
+    x = np.cos(2 * np.pi * (((f_tuned + 2000.0) / ADC_CLOCK_NOM * t)
+                            % 1.0)).astype(np.float32)
+    audio = run_ddc(plan, [fcw], x, 3)[:, 0][64:]
+    f_meas, amp, sinad = tone_metrics(audio, plan.fs_out, 2000.0)
+    assert abs(f_meas - 2000.0) < 30 and abs(amp - 1.0) < 0.02
+    assert sinad > 75.0, sinad
+    # the firmware config factory plumbs through
+    params = rxm.RxParams.from_config(CONFIGS["rx3.wf3"],
+                                      audio_block=256)
+    assert params.num_channels == 3
+    assert abs(params.fs_out - ADC_CLOCK_NOM / 6172) < 1e-9
+
+
 def test_streaming_equals_batch():
     """Block-by-block streaming must bit-match a single long run."""
     plan = chz.make_ddc_plan(audio_block=128)

@@ -1,0 +1,92 @@
+"""Admin stream, MON camping, blacklist, /snr endpoint."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+
+from flydog_sdr_gps_tpu.models import rx_channel as rx
+from flydog_sdr_gps_tpu.runtime import StreamEngine, SyntheticSource
+from flydog_sdr_gps_tpu.server import KiwiServer
+from flydog_sdr_gps_tpu.utils import Config
+
+PORT = 18074
+
+
+async def scenario():
+    params = rx.RxParams(num_channels=2, audio_block=128)
+    src = SyntheticSource(tones=((14.201e6, 0.5),), noise_rms=0.001)
+    eng = StreamEngine(params, src)
+    cfg = Config()
+    server = KiwiServer(eng, cfg=cfg, port=PORT, realtime=False)
+    runner = await server.start()
+    try:
+        async with aiohttp.ClientSession() as s:
+            # --- ADMIN stream: config get/set/save + log + stats ---
+            ws = await s.ws_connect(f"http://127.0.0.1:{PORT}/1/ADMIN")
+            await ws.send_str("SET auth t=admin p=")
+            m = await ws.receive()
+            assert b"badp=0" in m.data
+            await ws.send_str("SET get_config")
+            m = await ws.receive()
+            assert m.data.startswith(b"CFG ")
+            doc = json.loads(m.data[4:])
+            assert doc["rx_name"] == "flydog_sdr_gps_tpu"
+            await ws.send_str("SET set_config key=rx_name value=newname")
+            m = await ws.receive()
+            assert b"cfg_seq=" in m.data
+            assert cfg.string("rx_name") == "newname"
+            await ws.send_str("SET stats")
+            m = await ws.receive()
+            assert b"blocks=" in m.data
+            await ws.send_str("SET log n=5")
+            m = await ws.receive()
+            assert m.data.startswith(b"LOG ")
+            await ws.send_str("SET blacklist_add cidr=10.1.2.0/24")
+            m = await ws.receive()
+            assert b"blacklist_len=1" in m.data
+            await ws.close()
+
+            assert server.ip_blocked("10.1.2.99")
+            assert not server.ip_blocked("10.1.3.1")
+
+            # --- MON camping: SND conn first, then MON shares it ---
+            ws_snd = await s.ws_connect(f"http://127.0.0.1:{PORT}/2/SND")
+            await ws_snd.send_str("SET auth t=kiwi p=")
+            ws_mon = await s.ws_connect(f"http://127.0.0.1:{PORT}/3/MON")
+            await ws_mon.send_str("SET auth t=kiwi p=")
+            got_mon_snd = False
+            for _ in range(40):
+                m = await asyncio.wait_for(ws_mon.receive(), timeout=30)
+                if m.type != aiohttp.WSMsgType.BINARY:
+                    continue
+                if m.data[:3] == b"SND":
+                    got_mon_snd = True
+                    break
+            assert got_mon_snd
+            # camper shares channel 0 with the SND conn
+            mon_conn = server.conns["3"]
+            snd_conn = server.conns["2"]
+            assert mon_conn.rx_chan == snd_conn.rx_chan
+            await ws_mon.close()
+            await asyncio.sleep(0.1)
+            # owner's channel still in use after camper leaves
+            assert eng.ctl[snd_conn.rx_chan].in_use
+            await ws_snd.close()
+
+            # --- /snr ---
+            server.snr_measure(np.random.default_rng(0)
+                               .normal(-100, 5, 1024))
+            async with s.get(f"http://127.0.0.1:{PORT}/snr") as r:
+                hist = await r.json()
+            assert len(hist) == 1 and "snr" in hist[0]
+    finally:
+        await server.stop()
+        await runner.cleanup()
+
+
+def test_admin_mon_blacklist_snr():
+    asyncio.run(scenario())
