@@ -120,7 +120,33 @@ class Ft8Ext(Extension):
         power = np.asarray(self._spectrogram(audio))
         cands = costas_sync(power)
         self.results = [(c, tone_logls(power, c)) for c in cands[:5]]
+        out = []
         best = cands[0] if cands else {}
-        msg = (f"cands={len(cands)} best_freq={best.get('freq', 0):.1f} "
-               f"best_sync={best.get('sync', 0):.2f}").encode()
-        return [("ft8_status", msg)]
+        out.append(("ft8_status",
+                    (f"cands={len(cands)} "
+                     f"best_freq={best.get('freq', 0):.1f} "
+                     f"best_sync={best.get('sync', 0):.2f}").encode()))
+        for spot in self.decode_candidates():
+            out.append(("ft8_decode",
+                        (f"{spot['text']} {spot['freq']:.1f}").encode()))
+        return out
+
+    def decode_candidates(self, min_sync: float = 1.5) -> list[dict]:
+        """LDPC+CRC decode of synced candidates -> message spots."""
+        from . import ft8_decode
+        spots, seen = [], set()
+        for cand, powers in self.results:
+            if cand["sync"] < min_sync:
+                continue
+            llrs = ft8_decode.tone_powers_to_llrs(powers)
+            msg = ft8_decode.decode_llrs(llrs)
+            if msg is None:
+                continue
+            text = " ".join(x for x in (msg.call_to, msg.call_de,
+                                        msg.extra) if x)
+            if text in seen:
+                continue
+            seen.add(text)
+            spots.append(dict(text=text, freq=cand["freq"],
+                              sync=cand["sync"]))
+        return spots

@@ -154,14 +154,35 @@ class WsprExt(Extension):
         power = np.asarray(self._frontend(audio))
         cands = sync_correlate(power)
         self.results = [(c, soft_symbols(power, c)) for c in cands[:5]]
+        out = []
         best = cands[0] if cands else {}
-        msg = (f"cands={len(cands)} "
-               f"best_freq={best.get('freq', 0):.2f} "
-               f"best_sync={best.get('sync', 0):.3f}").encode()
-        return [("wspr_status", msg)]
+        out.append(("wspr_status",
+                    (f"cands={len(cands)} "
+                     f"best_freq={best.get('freq', 0):.2f} "
+                     f"best_sync={best.get('sync', 0):.3f}").encode()))
+        for spot in self.decode_candidates():
+            out.append(("wspr_decode",
+                        (f"{spot['callsign']} {spot['grid']} "
+                         f"{spot['dbm']} {spot['freq']:.2f}").encode()))
+        return out
 
-    def decode_candidates(self):
-        """Hook for the (host) convolutional decoder — returns the
-        current soft-symbol matrices.  Full Fano decode lands in the
-        next round."""
-        return self.results
+    def decode_candidates(self, min_sync: float = 0.15) -> list[dict]:
+        """Run the sequential decoder on the synced candidates; returns
+        spots [{'callsign','grid','dbm','freq','sync'}, ...]."""
+        from . import wspr_decode
+        spots = []
+        seen = set()
+        for cand, soft in self.results:
+            if cand["sync"] < min_sync:
+                continue
+            msg = wspr_decode.decode_soft_symbols(soft)
+            if msg is None:
+                continue
+            key = (msg.callsign, msg.grid)
+            if key in seen:
+                continue
+            seen.add(key)
+            spots.append(dict(callsign=msg.callsign, grid=msg.grid,
+                              dbm=msg.dbm, freq=cand["freq"],
+                              sync=cand["sync"]))
+        return spots

@@ -81,6 +81,11 @@ class Connection:
         eng = self.server.engine
         ch = self.rx_chan
         if cmd == "auth":
+            pwd = p.get("p", "")
+            ok = self.server.check_password(p.get("t", "kiwi"), pwd)
+            if not ok:
+                await self.send_msg(which, badp=1)
+                return
             self.authed = True
             await self.send_msg(which, badp=0)
             if which == "SND":
@@ -289,10 +294,21 @@ class KiwiServer:
         self.ip_blacklist: list[tuple[int, int]] = []
         self.snr_history: list[dict] = []
         self.app = web.Application()
+        self.app.router.add_get("/", self.http_root)
         self.app.router.add_get("/status", self.http_status)
         self.app.router.add_get("/users", self.http_users)
         self.app.router.add_get("/snr", self.http_snr)
         self.app.router.add_get("/{ts}/{stream:.*}", self.ws_entry)
+
+    def check_password(self, conn_type: str, password: str) -> bool:
+        """User/admin password check (`rx/rx_cmd.cpp` CMD_AUTH: empty
+        configured password = open access; admin requires its own)."""
+        if self.cfg is None:
+            return True
+        key = ("admin_password" if conn_type == "admin"
+               else "user_password")
+        want = self.cfg.string(key, "")
+        return want == "" or password == want
 
     # -- IP blacklist (downloadable + local CIDR list,
     #    net/ip_blacklist.cpp:1-324 semantics) -------------------------
@@ -401,6 +417,24 @@ class KiwiServer:
         return ws
 
     # -- REST ------------------------------------------------------------
+    async def http_root(self, request):
+        """Minimal landing page (the reference embeds its full JS UI;
+        the wire protocol is the compatibility surface here)."""
+        eng = self.engine
+        users = sum(1 for c in self.conns.values()
+                    if c.rx_chan is not None)
+        name = self.cfg.string("rx_name") if self.cfg else "tpu-sdr"
+        html = f"""<!doctype html><html><head>
+<title>{name}</title></head><body style="font-family:monospace">
+<h2>{name} — flydog_sdr_gps_tpu</h2>
+<p>TPU-native SDR. {users}/{eng.params.num_channels} channels in use.
+Audio rate {eng.params.snd_rate} Hz, span 0-{int(self.ui_srate/1e6)} MHz.</p>
+<p>Streams: ws://&lt;host&gt;/{{ts}}/SND , /W/F , /EXT , /ADMIN , /MON<br>
+REST: <a href="/status">/status</a> <a href="/users">/users</a>
+<a href="/snr">/snr</a></p>
+</body></html>"""
+        return web.Response(text=html, content_type="text/html")
+
     async def http_status(self, request):
         """Text status, key=value per line (`rx_server_ajax.cpp:538`)."""
         eng = self.engine

