@@ -85,12 +85,17 @@ def code_ffts(params: AcqParams, prns: tuple[int, ...]) -> np.ndarray:
     return out
 
 
-def acquire(params: AcqParams, baseband: Cplx, code_fft: Cplx
+def acquire(params: AcqParams, baseband: Cplx, code_fft: Cplx,
+            code_period_samples: int | None = None,
+            chips_per_period: int = L1_CODELEN
             ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Search the (sat, Doppler) plane.
 
     baseband: (fft_len,) decimated IF block.
     code_fft: (nsat, fft_len) conjugated code spectra.
+    code_period_samples: lag-search span (one code period); defaults
+    to the C/A 1 ms period (4092 samples at 4.092 Msps).  Galileo E1B
+    passes its 4 ms period (= the whole window).
 
     Returns (snr, code_phase, doppler_hz) per satellite, where SNR is
     peak power / mean power (the reference's test statistic,
@@ -115,7 +120,8 @@ def acquire(params: AcqParams, baseband: Cplx, code_fft: Cplx
     corr = fft_ops.ifft(prod.reshape(nsat * nd, params.fft_len))
     power = corr.abs2().reshape(nsat, nd, params.fft_len)
     # only one code period of lags is distinct; the peak repeats
-    samps_per_code = int(round(params.fs / 1.023e6 * L1_CODELEN))
+    samps_per_code = code_period_samples or \
+        int(round(params.fs / 1.023e6 * L1_CODELEN))
     p1 = power[:, :, :samps_per_code]
     peak = jnp.max(p1, axis=(1, 2))
     mean = jnp.mean(power, axis=(1, 2))
@@ -130,7 +136,7 @@ def acquire(params: AcqParams, baseband: Cplx, code_fft: Cplx
     # handoff wants cp with data[n] ~ code[cp + n], i.e. cp = -tau
     code_phase = jnp.mod(
         (samps_per_code - phase_idx).astype(jnp.float32),
-        samps_per_code) * jnp.float32(L1_CODELEN / samps_per_code)
+        samps_per_code) * jnp.float32(chips_per_period / samps_per_code)
     return snr, code_phase, doppler_hz
 
 

@@ -150,6 +150,47 @@ class StreamEngine:
         self.state = rx.init_state(self.params)
         self.resets += 1
 
+    # -- checkpoint / resume --------------------------------------------
+    # The reference persists only JSON config (kiwi.json etc.,
+    # SURVEY.md section 5 "checkpoint/resume"); the TPU build can also
+    # snapshot the full streaming state so a restarted server resumes
+    # mid-stream without filter warmup glitches.
+    def save_state(self, path: str) -> None:
+        import pickle
+        leaves, treedef = jax.tree.flatten(self.state)
+        with open(path, "wb") as f:
+            pickle.dump(dict(
+                leaves=[np.asarray(x) for x in leaves],
+                seq=self.seq, block_ticks=self.block_ticks,
+                ctl=self.ctl), f)
+
+    def load_state(self, path: str) -> None:
+        import pickle
+        with open(path, "rb") as f:
+            snap = pickle.load(f)
+        ref = rx.init_state(self.params)
+        _, treedef = jax.tree.flatten(ref)
+        self.state = jax.tree.unflatten(
+            treedef, [jnp.asarray(x) for x in snap["leaves"]])
+        self.seq = snap["seq"]
+        self.block_ticks = snap["block_ticks"]
+        self.ctl = snap["ctl"]
+        # rebuild the device tuning from the restored control mirrors
+        self.retune_all(self.params.adc_clock)
+        for ch in range(self.params.num_channels):
+            c = self.ctl[ch]
+            ctlvals = dict(mode=c.mode, passband=c.passband,
+                           agc_on=c.agc_on,
+                           manual_gain_db=c.manual_gain_db,
+                           squelch=c.squelch, nb_on=c.nb_on,
+                           nr_on=c.nr_on)
+            # force-apply (set_channel skips unchanged mirrors)
+            old = self.ctl[ch]
+            self.ctl[ch] = ChannelCtl()
+            self.set_channel(ch, **ctlvals)
+            self.ctl[ch].freq_hz = old.freq_hz
+            self.ctl[ch].in_use = old.in_use
+
     # -- timestamps ------------------------------------------------------
     def gps_timestamp(self, clock_hz: float | None = None
                       ) -> tuple[int, float]:
