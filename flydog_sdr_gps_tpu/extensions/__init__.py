@@ -73,3 +73,6 @@ from . import wspr           # noqa: E402,F401
 from . import ft8            # noqa: E402,F401
 from . import tdoa           # noqa: E402,F401
 from . import noise_ui       # noqa: E402,F401
+from . import fsk            # noqa: E402,F401
+from . import navtex         # noqa: E402,F401
+from . import timecode       # noqa: E402,F401

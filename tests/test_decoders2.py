@@ -1,0 +1,113 @@
+"""FSK/RTTY, NAVTEX, timecode decoders — synthetic end-to-end."""
+
+import numpy as np
+import pytest
+
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+from test_extensions import make_taps, FakeEngine  # noqa: E402
+
+from flydog_sdr_gps_tpu import extensions as ext
+from flydog_sdr_gps_tpu.extensions import navtex as nvx
+from flydog_sdr_gps_tpu.extensions import timecode as tc
+from flydog_sdr_gps_tpu.extensions.fsk import (ITA2_LTRS, FIGS, LTRS)
+
+FS = 12000.0
+
+
+def fsk_audio(codes, baud, center, shift, fs=FS, lead=0.2):
+    """ITA2 frames (1 start + 5 data + 1.5 stop) -> FSK audio."""
+    bits = []
+    for code in codes:
+        bits.append((0, 1.0))                     # start
+        for i in range(5):
+            bits.append(((code >> i) & 1, 1.0))
+        bits.append((1, 1.5))                     # stop
+    samples = [np.zeros(int(lead * fs))]
+    phase = 0.0
+    # idle mark before the first frame
+    bits = [(1, 8.0)] + bits + [(1, 4.0)]
+    for bit, dur in bits:
+        n = int(round(dur * fs / baud))
+        f = center + (shift / 2 if bit else -shift / 2)
+        t = np.arange(n)
+        samples.append(np.sin(phase + 2 * np.pi * f * t / fs))
+        phase = (phase + 2 * np.pi * f * n / fs) % (2 * np.pi)
+    return np.concatenate(samples).astype(np.float32)
+
+
+def run_ext(name, audio, **params):
+    e = ext.ext_create(name, FakeEngine(), 0)
+    e.start(**params)
+    text = ""
+    for i in range(0, len(audio) - 511, 512):
+        for tag, payload in e.process_block(
+                make_taps(audio[i:i + 512])):
+            if tag in ("chars", "time"):
+                text += payload.decode()
+    return text
+
+
+def test_rtty_decodes_text():
+    msg = "CQ DX"
+    inv = {c: i for i, c in enumerate(ITA2_LTRS)}
+    codes = [LTRS] + [inv[c] for c in msg]
+    audio = fsk_audio(codes, 45.45, 1000.0, 170.0)
+    got = run_ext("FSK", audio, center=1000.0, shift=170.0, baud=45.45)
+    assert "CQ DX" in got, repr(got)
+
+
+def test_navtex_decodes_text():
+    codes = nvx.encode_text("NAV WARNING 42")
+    audio = None
+    bits = []
+    for code in codes:
+        for i in range(6, -1, -1):
+            bits.append((code >> i) & 1)
+    # 100 baud FSK, one bit per symbol
+    fs = FS
+    sps = int(round(fs / 100.0))
+    phase = 0.0
+    chunks = [np.zeros(1024)]
+    for b in bits:
+        f = 1000.0 + (85.0 if b else -85.0)
+        t = np.arange(sps)
+        chunks.append(np.sin(phase + 2 * np.pi * f * t / fs))
+        phase = (phase + 2 * np.pi * f * sps / fs) % (2 * np.pi)
+    chunks.append(np.zeros(2048))
+    audio = np.concatenate(chunks).astype(np.float32)
+    got = run_ext("NAVTEX", audio, center=1000.0)
+    assert "NAV WARNING 42" in got, repr(got)
+
+
+def test_dcf77_frame_round_trip():
+    t0 = tc.DecodedTime(minute=37, hour=14, day=17, month=8, year=26)
+    bits = tc.encode_dcf77_frame(t0)
+    t1 = tc.decode_dcf77_frame(bits)
+    assert t1 is not None and str(t1) == "2026-08-17 14:37"
+    # parity error detection
+    bad = list(bits)
+    bad[22] ^= 1
+    assert tc.decode_dcf77_frame(bad) is None
+
+
+def test_timecode_ext_decodes_am_seconds():
+    """Synthesize a DCF77-style AM second stream around one minute."""
+    t0 = tc.DecodedTime(minute=5, hour=9, day=2, month=3, year=24)
+    bits = tc.encode_dcf77_frame(t0)
+    fs = FS
+    tone = lambda n, a: a * np.sin(2 * np.pi * 500.0
+                                   * np.arange(n) / fs)
+    sec = int(fs)
+    chunks = []
+    for b in bits:                      # seconds 0..58
+        red = int(0.2 * fs) if b else int(0.1 * fs)
+        chunks.append(np.concatenate([tone(red, 0.1),
+                                      tone(sec - red, 1.0)]))
+    chunks.append(tone(sec, 1.0))       # second 59: no reduction
+    # next frame start so the minute marker is recognized
+    chunks.append(np.concatenate([tone(int(0.1 * fs), 0.1),
+                                  tone(sec - int(0.1 * fs), 1.0)]))
+    audio = np.concatenate(chunks).astype(np.float32)
+    got = run_ext("timecode", audio)
+    assert "2024-03-02 09:05" in got, repr(got)
