@@ -76,3 +76,5 @@ from . import noise_ui       # noqa: E402,F401
 from . import fsk            # noqa: E402,F401
 from . import navtex         # noqa: E402,F401
 from . import timecode       # noqa: E402,F401
+from . import ibp_scan       # noqa: E402,F401
+from . import fax            # noqa: E402,F401

@@ -111,3 +111,49 @@ def test_timecode_ext_decodes_am_seconds():
     audio = np.concatenate(chunks).astype(np.float32)
     got = run_ext("timecode", audio)
     assert "2024-03-02 09:05" in got, repr(got)
+
+
+def test_fax_decodes_line_pattern():
+    """WEFAX: a black/white stripe pattern survives the FM round trip."""
+    from flydog_sdr_gps_tpu.extensions.fax import FaxExt
+    fs = FS
+    e = FaxExt(FakeEngine(), 0)
+    e.start(lpm=120.0, px=256)
+    line_n = e.line_samples
+    # build 4 identical lines: sync white pulse then 4 stripes
+    lum = np.zeros(line_n)
+    lum[: line_n // 20] = 1.0                       # sync pulse
+    q = line_n // 4
+    lum[q:2 * q] = 1.0
+    lum[3 * q:] = 1.0
+    freq = 1500.0 + lum * 800.0
+    phase = 2 * np.pi * np.cumsum(np.tile(freq, 5)) / fs
+    audio = np.sin(phase).astype(np.float32)
+    rows = []
+    for i in range(0, len(audio) - 511, 512):
+        for tag, payload in e.process_block(make_taps(audio[i:i + 512])):
+            if tag == "fax_line":
+                rows.append(np.frombuffer(payload, np.uint8))
+    assert len(rows) >= 3
+    row = rows[2].astype(np.float64) / 255.0
+    # white stripe ~1.0, black stripe ~0.0 at the expected positions
+    assert row[96:120].mean() > 0.7        # white stripe (q..2q)
+    assert row[140:185].mean() < 0.3       # black stripe (2q..3q)
+
+
+def test_ibp_scan_reports():
+    from flydog_sdr_gps_tpu.extensions.ibp_scan import IbpScanExt
+
+    class Eng:
+        class params:
+            fs_out = FS
+        source = None
+        def set_channel(self, ch, **kw):
+            self.last = kw
+    eng = Eng()
+    e = IbpScanExt(eng, 0)
+    e.start(band=2)
+    assert eng.last["freq_hz"] == 21150.0e3
+    out = e.process_block(make_taps(np.zeros(512, np.float32)))
+    assert out and out[0][0] == "ibp"
+    assert len(e.readings) == 1
