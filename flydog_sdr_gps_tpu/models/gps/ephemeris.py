@@ -215,6 +215,74 @@ def decode_subframe(words: list[int], eph: Ephemeris) -> int | None:
     return sub
 
 
+class SubframeAssembler:
+    """Live LNAV frame sync + decode from a tracked bit stream.
+
+    Reference: `gps/channel.cpp:657-730` (`Subframe`/`ParityCheck`) —
+    find the TLM preamble (0x8B) at 300-bit spacing, verify the
+    Hamming parity of all ten words with D29*/D30* chaining, and hand
+    the data words to the subframe decoder.  Handles the BPSK sign
+    ambiguity by trying both polarities.
+    """
+
+    def __init__(self, prn: int = 0):
+        self.eph = Ephemeris(prn=prn)
+        self.bits: list[int] = []
+        self.subframes = 0
+
+    def feed(self, bits) -> list[int]:
+        """Feed hard bits (+-1 or 0/1); returns subframe ids decoded."""
+        for b in bits:
+            self.bits.append(1 if b > 0 else 0)
+        decoded = []
+        while len(self.bits) >= 302:
+            hit = False
+            # need the 2 parity bits D29*/D30* preceding the subframe;
+            # scan for a preamble at offset >= 2
+            limit = len(self.bits) - 300
+            for off in range(2, min(limit + 1, 3000)):
+                for inv in (0, 1):
+                    words = self._try(off, inv)
+                    if words is not None:
+                        sub = decode_subframe(words, self.eph)
+                        if sub is not None:
+                            self.subframes += 1
+                            decoded.append(sub)
+                        # keep the final 2 bits: they are the D29*/D30*
+                        # the NEXT subframe's parity chain needs
+                        del self.bits[:off + 298]
+                        hit = True
+                        break
+                if hit:
+                    break
+            if not hit:
+                # keep a window; drop old bits to bound memory
+                if len(self.bits) > 6000:
+                    del self.bits[:3000]
+                break
+        return decoded
+
+    def _try(self, off: int, inv: int) -> list[int] | None:
+        bits = [b ^ inv for b in self.bits[off - 2:off + 300]]
+        # preamble check on the raw (possibly complemented-by-D30) bits
+        d29, d30 = bits[0], bits[1]
+        words = []
+        pos = 2
+        for w in range(10):
+            word = 0
+            for i in range(30):
+                word = (word << 1) | bits[pos + i]
+            ok, data24 = parity_check(word, d29, d30)
+            if not ok:
+                return None
+            words.append(data24)
+            d29, d30 = (word >> 1) & 1, word & 1
+            pos += 30
+        if (words[0] >> 16) != TLM_PREAMBLE:
+            return None
+        return words
+
+
 def encode_subframe(sub: int, eph: Ephemeris) -> list[int]:
     """Inverse of :func:`decode_subframe` (test fixture generator)."""
     words = [0] * 10

@@ -32,9 +32,13 @@ class GpsChannel:
     acquired_snr: float = 0.0
     ip_history: list = dataclasses.field(default_factory=list)
     epochs: int = 0
-    eph: ephemeris.Ephemeris = None
-    subframe_bits: list = dataclasses.field(default_factory=list)
+    asm: ephemeris.SubframeAssembler = None
+    bits_fed: int = 0
     lost_count: int = 0
+
+    def __post_init__(self):
+        if self.asm is None:
+            self.asm = ephemeris.SubframeAssembler(prn=self.prn)
 
 
 class GpsManager:
@@ -137,18 +141,40 @@ class GpsManager:
                 ch.lost_count = 0
         self.ticks += len(raw_if)
 
+    # -- nav decode ------------------------------------------------------
+    def decode_nav(self) -> None:
+        """Run bit sync + LNAV subframe assembly on each channel's
+        accumulated prompt-I history (host control plane, like the
+        reference's per-channel `Subframe` handling)."""
+        for ch in self.channels.values():
+            if len(ch.ip_history) < 600:     # need bit-sync confidence
+                continue
+            _off, bits = tracking.bit_sync(np.asarray(ch.ip_history))
+            new = bits[ch.bits_fed:]
+            if len(new):
+                ch.asm.feed(new)
+                ch.bits_fed = len(bits)
+
+    def ephemerides(self) -> dict[int, ephemeris.Ephemeris]:
+        """Currently decoded (complete) ephemerides per PRN."""
+        return {ch.prn: ch.asm.eph for ch in self.channels.values()
+                if ch.asm.eph.complete()}
+
     # -- solution --------------------------------------------------------
-    def solve(self, ephemerides: dict[int, ephemeris.Ephemeris],
+    def solve(self, ephemerides: dict[int, ephemeris.Ephemeris] | None,
               gps_time: float) -> np.ndarray | None:
         """Position solution from current tracking state + ephemerides.
 
         ``ephemerides``: prn -> Ephemeris (decoded or externally
         provided — cold-start nav decode needs ~30 s of bits).
         """
+        if ephemerides is None:
+            ephemerides = {}
+        decoded = self.ephemerides()
         prns, sat_pos, pranges = [], [], []
         st = self._track_state
         for ch in self.channels.values():
-            eph = ephemerides.get(ch.prn)
+            eph = ephemerides.get(ch.prn) or decoded.get(ch.prn)
             if eph is None or st is None:
                 continue
             cp = float(st.code_phase[ch.state_idx])

@@ -255,3 +255,49 @@ def test_clock_discipline_recovers_true_clock():
     assert cd.locked
     assert abs(cd.adc_clock_hz - true_clk) / true_clk < 1e-6
     assert abs(cd.correction_ppm - (-140.8)) < 2.0
+
+
+def make_lnav_bitstream(eph, subs=(1, 2, 3), invert=False, lead=17):
+    """Transmitted LNAV bits for given subframes, parity-chained."""
+    bits = []
+    d29 = d30 = 0
+    rng = np.random.default_rng(0)
+    # the two bits before a subframe ARE the previous word's parity
+    # tail; the encoder chain starts at (0, 0), so the lead must end
+    # with 0,0 (in live reception you simply lose the partial subframe
+    # before the first full one)
+    lead_bits = list(rng.integers(0, 2, max(lead - 2, 0))) + [0, 0]
+    for sub in subs:
+        words = ephemeris.encode_subframe(sub, eph)
+        for data24 in words:
+            # HOW word etc. already embedded; add parity
+            word = ephemeris.parity_encode(data24, d29, d30)
+            for i in range(29, -1, -1):
+                bits.append((word >> i) & 1)
+            d29, d30 = (word >> 1) & 1, word & 1
+    out = lead_bits + bits + [0, 0]    # stream continues past the frame
+    if invert:
+        out = [b ^ 1 for b in out]
+    return [2 * b - 1 for b in out]      # +-1 like bit_sync output
+
+
+def test_subframe_assembler_live_decode():
+    src = make_test_eph()
+    asm = ephemeris.SubframeAssembler(prn=12)
+    stream = make_lnav_bitstream(src)
+    got = []
+    # feed in drips like live tracking delivers them
+    for i in range(0, len(stream), 37):
+        got += asm.feed(stream[i:i + 37])
+    assert got == [1, 2, 3]
+    assert asm.eph.complete()
+    assert abs(asm.eph.sqrt_a - src.sqrt_a) < 1e-4
+    assert abs(asm.eph.m0 - src.m0) < 1e-7
+
+
+def test_subframe_assembler_handles_bpsk_inversion():
+    src = make_test_eph()
+    asm = ephemeris.SubframeAssembler(prn=12)
+    got = asm.feed(make_lnav_bitstream(src, subs=(2,), invert=True))
+    assert got == [2]
+    assert abs(asm.eph.toe - src.toe) < 1e-6
