@@ -10,8 +10,20 @@ Method: run the full jitted receiver block program at C channels with
 a device-resident ADC block (the production ingest path generates or
 replays samples on-device — the axon host tunnel is ~1.4 GB/s, far
 below the 500 MB/s-per-stream the wideband input needs, see
-SURVEY.md section 7 "125 Msps ingest").  Steady-state wall time per
-42.7 ms RF block gives the realtime factor; channels_rt = C * factor.
+SURVEY.md section 7 "125 Msps ingest").
+
+Timing on the axon dev tunnel is hostile: per-dispatch latency is tens
+of ms and varies, deep async queues can wedge the link, and every
+fresh jit goes through a remote compile helper that can take minutes
+when loaded.  So the measurement is a TWO-POINT fit: the same pipeline
+is timed (fully synced, depth-1) at audio_block=512 and 2048; compute
+scales 4x with block size while the per-dispatch latency L is
+constant, so
+
+    wall_512  = c + L
+    wall_2048 = 4c + L   =>   c = (wall_2048 - wall_512) / 3
+
+which recovers the pure device time per 42.7 ms of RF.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,69 +37,73 @@ import time
 import numpy as np
 
 REFERENCE_CHANNELS = 14.0      # rx14: most channels/device the ref runs
+C = 1024
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def build(audio_block: int):
     import jax
     import jax.numpy as jnp
     from flydog_sdr_gps_tpu.models import rx_channel as rx
     from flydog_sdr_gps_tpu.ops import demod
     from flydog_sdr_gps_tpu.numerology import ADC_CLOCK_NOM
 
-    dev = jax.devices()[0]
-    log(f"bench device: {dev}")
-
-    C = 1024
-    params = rx.RxParams(num_channels=C, audio_block=512)
+    params = rx.RxParams(num_channels=C, audio_block=audio_block)
     modes = ([demod.MODE_USB, demod.MODE_AM, demod.MODE_LSB,
               demod.MODE_NBFM] * C)[:C]
-    log(f"building tuning for {C} channels ...")
     tuning = rx.default_tuning(params, modes=modes)
     state = rx.init_state(params)
-
     rng = np.random.default_rng(1)
     nb = params.ddc.adc_block
     t = np.arange(nb) / ADC_CLOCK_NOM
     x_np = (0.2 * np.cos(2 * np.pi * ((7.1e6 * t) % 1.0))
             + 0.05 * rng.standard_normal(nb)).astype(np.float32)
     x = jax.device_put(jnp.asarray(x_np))
-
     step = jax.jit(lambda s, tun, xb: rx.rx_block(params, s, tun, xb),
                    donate_argnums=(0,))
-    log("compiling ...")
+    return params, state, tuning, x, step
+
+
+def measure(audio_block: int, iters: int = 6) -> float:
+    """Best-of fully-synced wall time per block (seconds)."""
+    import jax
+    params, state, tuning, x, step = build(audio_block)
+    log(f"audio_block={audio_block}: compiling ...")
     t0 = time.time()
     state, taps = step(state, tuning, x)
-    jax.block_until_ready(taps.audio)
-    log(f"compile+first block: {time.time()-t0:.1f}s")
-
-    def hard_sync(arr):
-        # block_until_ready on the axon tunnel can return before the
-        # computation finishes; a scalar fetch is a true round-trip
-        return float(jnp.sum(arr))
-
-    # warmup + measure
-    for _ in range(2):
+    sm = np.asarray(taps.smeter_dbm)        # true round-trip sync
+    log(f"  compile+first block: {time.time()-t0:.1f}s")
+    assert np.all(np.isfinite(np.asarray(taps.audio))), "non-finite"
+    best = float("inf")
+    for i in range(iters):
+        t0 = time.time()
         state, taps = step(state, tuning, x)
-    hard_sync(taps.smeter_dbm)
-    n_iter = 10
-    t0 = time.time()
-    for _ in range(n_iter):
-        state, taps = step(state, tuning, x)
-    hard_sync(taps.smeter_dbm)
-    wall = (time.time() - t0) / n_iter
+        np.asarray(taps.smeter_dbm)
+        dt = time.time() - t0
+        best = min(best, dt)
+        log(f"  iter {i}: {dt*1e3:.1f} ms")
+    return best
 
-    rf_sec = nb / ADC_CLOCK_NOM
-    factor = rf_sec / wall
+
+def main():
+    import jax
+    from flydog_sdr_gps_tpu.numerology import ADC_CLOCK_NOM
+
+    log(f"bench device: {jax.devices()[0]}")
+    wall_512 = measure(512)
+    wall_2048 = measure(2048)
+    compute_512 = max((wall_2048 - wall_512) / 3.0, 1e-4)
+    latency = max(wall_512 - compute_512, 0.0)
+    rf_sec = 512 * 10416 / ADC_CLOCK_NOM
+    factor = rf_sec / compute_512
     channels_rt = C * factor
-    log(f"steady state: {wall*1e3:.2f} ms / {rf_sec*1e3:.1f} ms RF "
-        f"block at C={C} -> {factor:.2f}x realtime "
+    log(f"two-point fit: compute {compute_512*1e3:.2f} ms / "
+        f"{rf_sec*1e3:.1f} ms RF block, dispatch latency "
+        f"{latency*1e3:.1f} ms -> {factor:.2f}x realtime at C={C} "
         f"-> {channels_rt:.0f} realtime channels/chip")
-    # sanity: audio must be finite
-    assert bool(jnp.all(jnp.isfinite(taps.audio))), "non-finite audio"
 
     print(json.dumps({
         "metric": "realtime_ddc_demod_channels_per_chip",

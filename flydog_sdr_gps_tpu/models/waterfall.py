@@ -180,7 +180,7 @@ def wf_ingest(params: WfParams, state: WfState, x: jax.Array,
     yi = frames @ bank_i
     k = frames.shape[0]
     # exact per-output phase rotator (48-bit limbs), chunked to MAX_RAMP
-    ph = _long_phase_ramp(state.phi, dphi, k)
+    ph = nco.phase_ramp_long(state.phi, dphi, k)
     ang = (-2.0 * np.pi) * ph
     c, s = jnp.cos(ang), jnp.sin(ang)
     y = Cplx(yr * c - yi * s, yr * s + yi * c)
@@ -206,19 +206,6 @@ def wf_ingest(params: WfParams, state: WfState, x: jax.Array,
         hb_tails=new_tails,
         ring=ring,
     )
-
-
-def _long_phase_ramp(phi, dphi, k: int) -> jax.Array:
-    """Exact phase ramp of arbitrary static length (chunks of MAX_RAMP)."""
-    outs = []
-    off = 0
-    p = phi
-    while off < k:
-        step = min(nco.MAX_RAMP, k - off)
-        outs.append(nco.phase_ramp(p, dphi, step))
-        p = nco.advance(p, dphi, step)
-        off += step
-    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 # ---------------------------------------------------------------------------

@@ -126,12 +126,8 @@ def make_ddc_plan(adc_clock: float = ADC_CLOCK_NOM,
         f_protect = 0.38 * fs_out
     h1, h2 = design_decimation_stages(adc_clock, decims, f_protect,
                                       atten_db=atten_db)
-    plan = DDCPlan(adc_clock=adc_clock, decims=tuple(decims),
+    return DDCPlan(adc_clock=adc_clock, decims=tuple(decims),
                    h1=h1, h2=h2, audio_block=audio_block)
-    if plan.k1 > nco.MAX_RAMP:
-        raise ValueError("audio_block too large for exact phase ramp; "
-                         f"k1={plan.k1} > {nco.MAX_RAMP}")
-    return plan
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +232,8 @@ def stage1_apply(plan: DDCPlan, x_ext: jax.Array,
     frames = frame(x_ext, plan.d1, plan.m1)            # (k1, L1)
     yr = jnp.dot(frames, bank_r, precision=precision)
     yi = jnp.dot(frames, bank_i, precision=precision)
-    ph = nco.phase_ramp(phi1, dphi1, frames.shape[0])  # (k1, C) cycles
+    ph = nco.phase_ramp_long(phi1, dphi1,
+                             frames.shape[0])          # (k1, C) cycles
     ang = (-2.0 * np.pi) * ph
     c, s = jnp.cos(ang), jnp.sin(ang)
     return Cplx(yr * c - yi * s, yr * s + yi * c)

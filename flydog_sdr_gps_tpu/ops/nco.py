@@ -122,6 +122,21 @@ def phase_ramp(phi0_limbs, dphi_limbs, num: int) -> jnp.ndarray:
     return limbs_to_cycles_f32(ph)
 
 
+def phase_ramp_long(phi0_limbs, dphi_limbs, num: int) -> jnp.ndarray:
+    """Exact phase ramp of arbitrary static length: chunks of MAX_RAMP
+    advanced with exact limb carries between chunks."""
+    outs = []
+    p = jnp.asarray(phi0_limbs, jnp.int32)
+    d = jnp.asarray(dphi_limbs, jnp.int32)
+    off = 0
+    while off < num:
+        step = min(MAX_RAMP, num - off)
+        outs.append(phase_ramp(p, d, step))
+        p = advance(p, d, step)
+        off += step
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
 def advance(phi_limbs, dphi_limbs, num):
     """Advance a phase carry by ``num`` steps: (phi + num*dphi) mod 2**48.
 

@@ -140,7 +140,7 @@ class DeviceSceneSource:
         def make(phis, key):
             x = jnp.zeros((block,), jnp.float32)
             for i, amp in enumerate(self._amps):
-                ph = _device_ramp(nco, phis[i], fcws[i], block)
+                ph = nco.phase_ramp_long(phis[i], fcws[i], block)
                 x = x + jnp.float32(amp) * jnp.cos(
                     jnp.float32(2 * np.pi) * ph)
             if noise_rms:
@@ -163,17 +163,3 @@ class DeviceSceneSource:
         self.ticks = (self.ticks + self.block) % (1 << 48)
         return x
 
-
-def _device_ramp(nco, phi, dphi, n: int):
-    """Chunked exact phase ramp (n may exceed MAX_RAMP)."""
-    import jax.numpy as jnp
-    outs = []
-    p = jnp.asarray(phi)
-    d = jnp.asarray(dphi)
-    off = 0
-    while off < n:
-        step = min(nco.MAX_RAMP, n - off)
-        outs.append(nco.phase_ramp(p, d, step))
-        p = nco.advance(p, d, step)
-        off += step
-    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]

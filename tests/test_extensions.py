@@ -163,3 +163,19 @@ def test_ft8_frontend_costas_sync():
     assert abs(best["freq"] - base) < 3 * bin_hz, best
     logls = e.results[0][1]
     assert logls.shape == (58, 8)
+
+
+def test_misc_ui_extensions():
+    assert {"colormap", "iframe", "prefs", "example", "devl",
+            "waterfall", "digi_modes"} <= set(ext.ext_list())
+    pe = ext.ext_create("prefs", FakeEngine(), 0)
+    pe.start()
+    assert pe.command({"set": True, "key": "vol", "value": "7"})
+    assert pe.command({"get": True, "key": "vol"})[0][1] == b"7"
+    ex = ext.ext_create("example", FakeEngine(), 0)
+    ex.start()
+    assert ex.command({"ping": True})[0][1] == b"pong"
+    dm = ext.ext_create("digi_modes", FakeEngine(), 0)
+    dm.start()
+    out = dm.command({"preset": "rtty75"})
+    assert out and dm.baud == 75.0 and dm.shift == 450.0
