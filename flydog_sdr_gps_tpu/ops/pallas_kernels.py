@@ -97,7 +97,7 @@ def stage2_pallas_part(part: jax.Array, h2: np.ndarray, d2: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((m2, d2p), lambda k, ci: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -82,7 +82,7 @@ def test_tone_purity():
     assert peak_bin == 1000
     sig = spec[peak_bin]
     noise = spec.sum() - sig
-    snr_db = 10 * np.log10(sig / noise)
+    snr_db = 10 * np.log10(sig / max(noise, sig * 1e-30))
     assert snr_db > 100, snr_db
 
 
