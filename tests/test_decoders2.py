@@ -157,3 +157,72 @@ def test_ibp_scan_reports():
     out = e.process_block(make_taps(np.zeros(512, np.float32)))
     assert out and out[0][0] == "ibp"
     assert len(e.readings) == 1
+
+
+def test_sstv_martin_m1_round_trip():
+    """Synthesize a Martin M1 transmission (VIS + striped image) and
+    verify the decoder recovers mode, line count, and stripe colors."""
+    from flydog_sdr_gps_tpu.extensions.sstv import (
+        MODES, F_BLACK, F_WHITE, F_SYNC, F_LEADER, F_BIT0, F_BIT1)
+    fs = FS
+    m = MODES[44]
+    ms = fs / 1000.0
+
+    def tone_seg(freq, n_samples, state):
+        t = np.arange(int(n_samples))
+        seg = np.sin(state[0] + 2 * np.pi * freq * t / fs)
+        state[0] = (state[0] + 2 * np.pi * freq * int(n_samples) / fs) \
+            % (2 * np.pi)
+        return seg
+
+    st = [0.0]
+    parts = [np.zeros(1000)]
+    # VIS: leader, break, leader, start, 7 bits LSB-first, parity, stop
+    parts.append(tone_seg(F_LEADER, 300 * ms, st))
+    parts.append(tone_seg(F_SYNC, 10 * ms, st))
+    parts.append(tone_seg(F_LEADER, 300 * ms, st))
+    parts.append(tone_seg(F_SYNC, 30 * ms, st))
+    vis_bits = [(44 >> b) & 1 for b in range(7)]
+    vis_bits.append(sum(vis_bits) % 2)      # even parity
+    for b in vis_bits:
+        parts.append(tone_seg(F_BIT1 if b else F_BIT0, 30 * ms, st))
+    parts.append(tone_seg(F_SYNC, 30 * ms, st))
+
+    # image: 8 lines, G channel = left half white; B = all black;
+    # R = right half white
+    def scan_seg(levels):
+        seg = []
+        for lv in levels:
+            f = F_BLACK + lv * (F_WHITE - F_BLACK)
+            seg.append(tone_seg(f, m.scan_ms * ms / len(levels), st))
+        return np.concatenate(seg)
+
+    for _line in range(8):
+        parts.append(tone_seg(F_SYNC, m.sync_ms * ms, st))
+        parts.append(scan_seg([1.0, 0.0]))          # G: left white
+        parts.append(tone_seg(1500, m.sep_ms * ms, st))
+        parts.append(scan_seg([0.0, 0.0]))          # B: black
+        parts.append(tone_seg(1500, m.sep_ms * ms, st))
+        parts.append(scan_seg([0.0, 1.0]))          # R: right white
+        parts.append(tone_seg(1500, m.sep_ms * ms, st))
+    parts.append(np.zeros(4000))
+    audio = np.concatenate(parts).astype(np.float32)
+
+    e = ext.ext_create("SSTV", FakeEngine(), 0)
+    e.start(px=64)
+    mode_msgs, lines = [], []
+    for i in range(0, len(audio) - 511, 512):
+        for tag, payload in e.process_block(
+                make_taps(audio[i:i + 512])):
+            if tag == "sstv_mode":
+                mode_msgs.append(payload.decode())
+            elif tag == "sstv_line":
+                lines.append(np.frombuffer(payload[1:], np.uint8)
+                             .reshape(3, 64))
+    assert mode_msgs == ["Martin M1"], mode_msgs
+    assert len(lines) >= 6, len(lines)
+    row = lines[3].astype(np.float64) / 255.0      # (3, 64) R,G,B
+    r, g, b = row
+    assert g[8:24].mean() > 0.7 and g[40:56].mean() < 0.3   # G left
+    assert r[8:24].mean() < 0.3 and r[40:56].mean() > 0.7   # R right
+    assert b.mean() < 0.2                                   # B black
