@@ -226,3 +226,50 @@ def test_sstv_martin_m1_round_trip():
     assert g[8:24].mean() > 0.7 and g[40:56].mean() < 0.3   # G left
     assert r[8:24].mean() < 0.3 and r[40:56].mean() > 0.7   # R right
     assert b.mean() < 0.2                                   # B black
+
+
+def loran_audio(gri: int, secs: float, fs=FS) -> np.ndarray:
+    """Envelope-like pulse groups: 8 pulses 1 ms apart every GRI."""
+    n = int(secs * fs)
+    audio = 0.02 * np.random.default_rng(7).standard_normal(n)
+    period = fs * gri / 1e5
+    t0 = 0.0
+    pulse = np.hanning(int(fs * 300e-6) * 2 + 1)   # ~300 us envelope
+    while t0 < n:
+        for k in range(8):
+            c = int(t0 + k * fs * 1e-3)
+            lo, hi = c - len(pulse) // 2, c + len(pulse) // 2 + 1
+            if 0 <= lo and hi < n:
+                audio[lo:hi] += pulse
+        t0 += period
+    return audio.astype(np.float32)
+
+
+def test_loran_c_fold_and_search():
+    from flydog_sdr_gps_tpu.extensions import loran_c as lc
+    gri = 6731
+    audio = loran_audio(gri, 6.0)
+
+    best, score = lc.search_gri(np.abs(audio.astype(np.float64)), FS)
+    assert best == gri, (best, score)
+    assert score > 3.0, score
+
+    e = ext.ext_create("Loran_C", FakeEngine(), 0)
+    e.start(gri0=gri, gri1=8000)
+    rows = {}
+    for i in range(0, len(audio) - 511, 512):
+        for tag, payload in e.process_block(
+                make_taps(audio[i:i + 512])):
+            rows[tag] = np.frombuffer(payload, np.uint8)
+    assert "scope0" in rows and "scope1" in rows
+    # chain 0 folded at the right GRI: pulse group stands far above the
+    # noise floor; chain 1 (wrong GRI) smears flat
+    s0, s1 = rows["scope0"].astype(float), rows["scope1"].astype(float)
+    assert s0.max() == 255 and np.median(s0) < 60, (s0.max(), np.median(s0))
+    contrast0 = s0.max() / max(np.median(s0), 1)
+    contrast1 = s1.max() / max(np.median(s1), 1)
+    assert contrast0 > 2.5 * contrast1, (contrast0, contrast1)
+
+    # avg_algo switch command resets state
+    e.command({"avg_algo0": "cma"})
+    assert e.chains[0].navgs == 0
