@@ -273,3 +273,55 @@ def test_loran_c_fold_and_search():
     # avg_algo switch command resets state
     e.command({"avg_algo0": "cma"})
     assert e.chains[0].navgs == 0
+
+
+# ---------------------------------------------------------------- ALE 2G
+
+def test_ale_golay():
+    from flydog_sdr_gps_tpu.extensions import ale_2g as ale
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        d = int(rng.integers(0, 4096))
+        cw = ale.golay_encode(d)
+        # flip up to 3 random bits — must still decode exactly
+        for nerr in (0, 1, 2, 3):
+            bad = cw
+            for pos in rng.choice(24, nerr, replace=False):
+                bad ^= 1 << int(pos)
+            dd, e = ale.golay_decode(bad)
+            assert dd == d and e == nerr
+
+
+def test_ale_word_roundtrip():
+    from flydog_sdr_gps_tpu.extensions import ale_2g as ale
+    w = ale.word_pack("TIS", "SAM")
+    assert ale.word_unpack(w) == ("TIS", "SAM")
+    syms = ale.word_symbols(w)
+    assert syms.shape == (49,) and syms.max() <= 7
+    # frame survives 2/3 majority with a corrupted repetition
+    f = ale.frame_bits(w)
+    stream = np.concatenate([f, 1 - f[:10], f[10:], f])  # copy2 damaged
+    votes = stream[:49].astype(int) + stream[49:98] + stream[98:147]
+    word24, nerr = ale.frame_decode((votes >= 2).astype(np.uint8))
+    assert word24 == w and nerr == 0
+
+
+def test_ale_end_to_end():
+    from flydog_sdr_gps_tpu.extensions import ale_2g as ale
+    rng = np.random.default_rng(11)
+    msg = [("TO", "HQ@"), ("TO", "HQ@"), ("TIS", "SAM")]
+    audio = ale.modulate(msg, fs=FS)
+    audio = audio + 0.15 * rng.standard_normal(len(audio)).astype(
+        np.float32)
+
+    e = ext.ext_create("ALE_2G", FakeEngine(), 0)
+    e.start()
+    words = []
+    for i in range(0, len(audio) - 511, 512):
+        for tag, payload in e.process_block(
+                make_taps(audio[i:i + 512])):
+            if tag == "ale_word":
+                words.append(payload.decode())
+    got = [w.split(" (")[0] for w in words]
+    assert "[TO] HQ@" in got and "[TIS] SAM" in got, words
+    assert len(got) >= 3, words
