@@ -325,3 +325,60 @@ def test_ale_end_to_end():
     got = [w.split(" (")[0] for w in words]
     assert "[TO] HQ@" in got and "[TIS] SAM" in got, words
     assert len(got) >= 3, words
+
+
+# ------------------------------------------------------------- STANAG 4285
+
+def _s4285_loopback(rate, dopp_hz=0.0, seed=2, nbits=200, noise=0.05):
+    from flydog_sdr_gps_tpu.extensions import s4285 as s
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, nbits).astype(np.uint8)
+    audio = s.modulate(bits, rate=rate).astype(np.float64)
+    if dopp_hz:
+        # analytic-signal frequency shift (channel Doppler)
+        z = np.fft.ifft(np.fft.fft(audio) *
+                        (np.arange(len(audio)) < len(audio) // 2) * 2)
+        t = np.arange(len(z))
+        audio = np.real(z * np.exp(2j * np.pi * dopp_hz * t / FS))
+    audio = (audio + noise * rng.standard_normal(len(audio))).astype(
+        np.float32)
+    rx = s.S4285Rx(rate=rate)
+    out = []
+    for i in range(0, len(audio) - 511, 512):
+        out.extend(rx.feed(audio[i:i + 512]))
+    out.extend(rx.feed(np.zeros(20000, np.float32)))
+    dec = np.concatenate(out) if out else np.zeros(0, np.uint8)
+    n = min(len(dec), nbits)
+    return n, float(np.mean(dec[:n] != bits[:n])) if n else 1.0
+
+
+@pytest.mark.parametrize("rate", [2400, 1200, 600, 300])
+def test_s4285_rates(rate):
+    n, ber = _s4285_loopback(rate)
+    assert n == 200 and ber == 0.0, (rate, n, ber)
+
+
+def test_s4285_doppler():
+    n, ber = _s4285_loopback(1200, dopp_hz=3.0, seed=9)
+    assert n == 200 and ber == 0.0, (n, ber)
+    n, ber = _s4285_loopback(2400, dopp_hz=2.0, seed=13)
+    assert n == 200 and ber == 0.0, (n, ber)
+
+
+def test_s4285_via_extension():
+    from flydog_sdr_gps_tpu.extensions import s4285 as s
+    rng = np.random.default_rng(21)
+    bits = rng.integers(0, 2, 100).astype(np.uint8)
+    audio = np.concatenate([s.modulate(bits, rate=1200),
+                            np.zeros(20000, np.float32)])
+    e = ext.ext_create("s4285", FakeEngine(), 0)
+    e.start(rate=1200)
+    got = b""
+    for i in range(0, len(audio) - 511, 512):
+        for tag, payload in e.process_block(
+                make_taps(audio[i:i + 512])):
+            assert tag == "s4285_bits"
+            got += payload
+    dec = np.unpackbits(np.frombuffer(got, np.uint8))
+    assert len(dec) >= 100
+    assert np.array_equal(dec[:100], bits)
