@@ -382,3 +382,61 @@ def test_s4285_via_extension():
     dec = np.unpackbits(np.frombuffer(got, np.uint8))
     assert len(dec) >= 100
     assert np.array_equal(dec[:100], bits)
+
+
+# ------------------------------------------------------------------- HFDL
+
+def _hfdl_loopback(rate, dopp_hz=0.0, noise=0.04, nbytes=20):
+    from flydog_sdr_gps_tpu.extensions import hfdl as h
+    rng = np.random.default_rng(rate + int(dopp_hz * 10))
+    payload = bytes(rng.integers(0, 256, nbytes, dtype=np.uint8).tolist())
+    audio = h.modulate(h.make_mpdu(payload), rate=rate).astype(np.float64)
+    if dopp_hz:
+        z = np.fft.ifft(np.fft.fft(audio) *
+                        (np.arange(len(audio)) < len(audio) // 2) * 2)
+        t = np.arange(len(z))
+        audio = np.real(z * np.exp(2j * np.pi * dopp_hz * t / FS))
+    audio = (audio + noise * rng.standard_normal(len(audio))).astype(
+        np.float32)
+    rx = h.HfdlRx()
+    got = []
+    for i in range(0, len(audio) - 511, 512):
+        got.extend(rx.feed(audio[i:i + 512]))
+    got.extend(rx.feed(np.zeros(60000, np.float32)))
+    return payload, got
+
+
+@pytest.mark.parametrize("rate", [1800, 1200, 600, 300])
+def test_hfdl_rates(rate):
+    payload, got = _hfdl_loopback(rate)
+    assert any(p == payload and r == rate for r, p in got), got
+
+
+def test_hfdl_doppler():
+    payload, got = _hfdl_loopback(1800, dopp_hz=2.0)
+    assert any(p == payload for r, p in got), got
+
+
+def test_hfdl_crc_rejects_garbage():
+    from flydog_sdr_gps_tpu.extensions import hfdl as h
+    bits = h.make_mpdu(b"hello hfdl")
+    assert h.parse_mpdu(bits) == b"hello hfdl"
+    bad = bits.copy()
+    bad[40] ^= 1
+    assert h.parse_mpdu(bad) is None
+
+
+def test_hfdl_via_extension():
+    from flydog_sdr_gps_tpu.extensions import hfdl as h
+    payload = b"SQUITTER 01"
+    audio = np.concatenate([
+        h.modulate(h.make_mpdu(payload), rate=1200),
+        np.zeros(60000, np.float32)])
+    e = ext.ext_create("HFDL", FakeEngine(), 0)
+    e.start()
+    msgs = []
+    for i in range(0, len(audio) - 511, 512):
+        for tag, pl in e.process_block(make_taps(audio[i:i + 512])):
+            assert tag == "hfdl_mpdu"
+            msgs.append(pl.decode())
+    assert any(m == "1200|" + payload.hex() for m in msgs), msgs
