@@ -84,3 +84,4 @@ from . import loran_c        # noqa: E402,F401
 from . import ale_2g         # noqa: E402,F401
 from . import s4285          # noqa: E402,F401
 from . import hfdl           # noqa: E402,F401
+from . import drm            # noqa: E402,F401

@@ -1,6 +1,7 @@
 """FSK/RTTY, NAVTEX, timecode decoders — synthetic end-to-end."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import sys, os
@@ -440,3 +441,75 @@ def test_hfdl_via_extension():
             assert tag == "hfdl_mpdu"
             msgs.append(pl.decode())
     assert any(m == "1200|" + payload.hex() for m in msgs), msgs
+
+
+# -------------------------------------------------------------------- DRM
+
+def _drm_loopback(chan=None, noise=0.01, seed=2):
+    from flydog_sdr_gps_tpu.extensions import drm
+    tx = drm.DrmTx(service_id=0xA1B2C3, label_idx=7)
+    sdc, msc = b"Radio TPU", b"MSC data service bytes"
+    bb = tx.superframe(sdc, msc).astype(np.complex128)
+    rng = np.random.default_rng(seed)
+    sig = np.concatenate([np.zeros(777, np.complex128), bb, bb,
+                          np.zeros(2000, np.complex128)])
+    if chan:
+        sig = chan(sig)
+    sig = sig + noise * (rng.standard_normal(len(sig))
+                         + 1j * rng.standard_normal(len(sig)))
+    rx = drm.DrmRx()
+    got = []
+    for i in range(0, len(sig) - 511, 512):
+        got.extend(rx.feed(sig[i:i + 512].astype(np.complex64)))
+    return sdc, msc, got
+
+
+def test_drm_loopback_clean():
+    sdc, msc, got = _drm_loopback()
+    d = dict((t, p) for t, p in got)
+    assert d.get("drm_sdc") == sdc and d.get("drm_msc") == msc, got
+    fac = d["drm_fac"]
+    assert fac["service_id"] == 0xA1B2C3 and fac["label_idx"] == 7
+    assert fac["msc_qam"] == 16
+
+
+def test_drm_cfo_and_multipath():
+    def chan(s):
+        t = np.arange(len(s))
+        return (s + 0.3 * np.roll(s, 12)) * np.exp(
+            2j * np.pi * 8.0 * t / 12000.0)
+    sdc, msc, got = _drm_loopback(chan=chan)
+    tags = [t for t, _ in got]
+    assert "drm_sdc" in tags and "drm_msc" in tags, tags
+
+
+def test_drm_fac_crc():
+    from flydog_sdr_gps_tpu.extensions import drm
+    bits = drm.fac_pack(0x123456, 3, msc_qam=16, frame_idx=1)
+    fac = drm.fac_unpack(bits)
+    assert fac == {"service_id": 0x123456, "label_idx": 3,
+                   "msc_qam": 16, "frame_idx": 1}
+    bad = bits.copy()
+    bad[5] ^= 1
+    assert drm.fac_unpack(bad) is None
+
+
+def test_drm_via_extension_iq_tap():
+    from flydog_sdr_gps_tpu.extensions import drm
+    from flydog_sdr_gps_tpu.models.rx_channel import RxTaps
+    from flydog_sdr_gps_tpu.ops.cplx import Cplx
+    tx = drm.DrmTx()
+    bb = np.concatenate([tx.superframe(b"S", b"M"),
+                         np.zeros(4000, np.complex64)])
+    e = ext.ext_create("DRM", FakeEngine(), 0)
+    e.start()
+    tags = []
+    for i in range(0, len(bb) - 511, 512):
+        seg = bb[i:i + 512]
+        a = jnp.asarray(np.real(seg)[:, None].astype(np.float32))
+        b = jnp.asarray(np.imag(seg)[:, None].astype(np.float32))
+        z = Cplx(a, b)
+        taps = RxTaps(audio=a, iq_pre_fir=z, iq_post_agc=z,
+                      smeter_dbm=jnp.asarray([-50.0], jnp.float32))
+        tags.extend(t for t, _ in e.process_block(taps))
+    assert "drm_fac" in tags and "drm_sdc" in tags and "drm_msc" in tags
