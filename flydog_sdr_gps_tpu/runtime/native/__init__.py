@@ -71,3 +71,130 @@ if _lib is not None:
             return out
 else:  # pragma: no cover — no compiler available
     adpcm_native = None
+
+
+# ---------------------------------------------------------------------------
+# datapump: ring buffer + wire-format conversion (datapump.c)
+# ---------------------------------------------------------------------------
+
+_dp_path = _build("datapump")
+_dp = ctypes.CDLL(_dp_path) if _dp_path else None
+
+if _dp is not None:
+    import numpy as np
+    import threading
+
+    _dp.dp_s24_to_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_float, ctypes.c_int]
+    _dp.dp_s16_to_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_float, ctypes.c_int]
+    _dp.dp_f32_to_s16be.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_float]
+    _dp.dp_seq_check.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    _dp.dp_seq_check.restype = ctypes.c_int64
+    _dp.dp_ring_new.argtypes = [ctypes.c_int64, ctypes.c_int64]
+    _dp.dp_ring_new.restype = ctypes.c_void_p
+    _dp.dp_ring_free.argtypes = [ctypes.c_void_p]
+    for fn in (_dp.dp_ring_push, _dp.dp_ring_pop):
+        fn.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        fn.restype = ctypes.c_int
+    _dp.dp_ring_fill.argtypes = [ctypes.c_void_p]
+    _dp.dp_ring_fill.restype = ctypes.c_int64
+    _dp.dp_ring_overruns.argtypes = [ctypes.c_void_p]
+    _dp.dp_ring_overruns.restype = ctypes.c_int64
+
+    def s24_to_f32(raw: bytes | "np.ndarray", scale: float,
+                   iq_swap: bool = False) -> "np.ndarray":
+        raw = np.frombuffer(bytes(raw), np.uint8) \
+            if not isinstance(raw, np.ndarray) else \
+            np.ascontiguousarray(raw, np.uint8)
+        n = len(raw) // 3
+        out = np.zeros(n, np.float32)
+        _dp.dp_s24_to_f32(
+            raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, scale, int(iq_swap))
+        return out
+
+    def s16_to_f32(samples: "np.ndarray", scale: float,
+                   iq_swap: bool = False) -> "np.ndarray":
+        samples = np.ascontiguousarray(samples, np.int16)
+        out = np.zeros(len(samples), np.float32)
+        _dp.dp_s16_to_f32(
+            samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(samples), scale, int(iq_swap))
+        return out
+
+    def f32_to_s16be(x: "np.ndarray", scale: float = 32767.0) -> bytes:
+        x = np.ascontiguousarray(x, np.float32)
+        out = np.zeros(2 * len(x), np.uint8)
+        _dp.dp_f32_to_s16be(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(x), scale)
+        return out.tobytes()
+
+    class SeqCheck:
+        """SND_SEQ_CHECK analogue (`rx/data_pump.cpp:56-143`)."""
+
+        def __init__(self):
+            self._st = np.zeros(2, np.int64)
+
+        def check(self, seq: int) -> int:
+            return int(_dp.dp_seq_check(
+                self._st.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int64)), seq))
+
+        @property
+        def total_gaps(self) -> int:
+            return int(self._st[1])
+
+    class NativeRing:
+        """SPSC float32-block ring (the `rx_dpump_t` N_DPBUF ring,
+        `rx/data_pump.h:36-57`): ingest thread pushes, the dispatch
+        loop pops.  Overruns drop the oldest block, mirroring the
+        data-pump latency reset."""
+
+        def __init__(self, block: int, nblocks: int = 32):
+            self.block = int(block)
+            self._h = ctypes.c_void_p(_dp.dp_ring_new(block, nblocks))
+            if not self._h:
+                raise MemoryError("dp_ring_new")
+            self._lock = threading.Lock()   # guards destruction only
+            self._free = _dp.dp_ring_free   # survives module teardown
+
+        def push(self, x: "np.ndarray") -> bool:
+            x = np.ascontiguousarray(x, np.float32)
+            assert len(x) == self.block
+            return bool(_dp.dp_ring_push(
+                self._h,
+                x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))))
+
+        def pop(self) -> "np.ndarray | None":
+            out = np.zeros(self.block, np.float32)
+            ok = _dp.dp_ring_pop(
+                self._h,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            return out if ok else None
+
+        @property
+        def fill(self) -> int:
+            return int(_dp.dp_ring_fill(self._h))
+
+        @property
+        def overruns(self) -> int:
+            return int(_dp.dp_ring_overruns(self._h))
+
+        def __del__(self):
+            with self._lock:
+                if getattr(self, "_h", None):
+                    self._free(self._h)
+                    self._h = None
+else:  # pragma: no cover — no compiler available
+    s24_to_f32 = s16_to_f32 = f32_to_s16be = None
+    SeqCheck = NativeRing = None

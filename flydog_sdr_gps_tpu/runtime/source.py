@@ -163,3 +163,83 @@ class DeviceSceneSource:
         self.ticks = (self.ticks + self.block) % (1 << 48)
         return x
 
+
+
+class Int24FileSource(SampleSource):
+    """Replay a packed signed-24-bit little-endian capture — the
+    FPGA's native RXO wire format (`RXO_BITS=24`, converted s24->float
+    in `rx/data_pump.cpp:145-208`).  Uses the native converter
+    (`runtime/native/datapump.c`) when built, numpy otherwise."""
+
+    def __init__(self, path: str, scale: float = 2.0 ** -23,
+                 iq_swap: bool = False,
+                 adc_clock: float = ADC_CLOCK_NOM, loop: bool = True):
+        super().__init__(adc_clock)
+        raw = np.fromfile(path, dtype=np.uint8)
+        n = (len(raw) // 3) * 3
+        if n == 0:
+            raise ValueError(f"empty capture {path}")
+        from . import native
+        if native.s24_to_f32 is not None:
+            self._data = native.s24_to_f32(raw[:n], scale, iq_swap)
+        else:  # pragma: no cover
+            b = raw[:n].reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = (v << 8) >> 8
+            self._data = (v * scale).astype(np.float32)
+            if iq_swap:
+                d = self._data.reshape(-1, 2)
+                self._data = d[:, ::-1].reshape(-1)
+        self._pos = 0
+        self.loop = loop
+
+    _produce = FileSource._produce
+
+
+class ThreadedSource(SampleSource):
+    """Decouple ingest from dispatch: a producer thread pulls blocks
+    from ``inner`` into a native SPSC ring; ``next_block`` pops.
+
+    This is the data-pump split of the reference (SPI helper process +
+    `data_pump` task, `platform/common/spi_dev.cpp:168`,
+    `rx/data_pump.cpp:292`): production never blocks on the consumer,
+    overruns drop the oldest block and are counted.
+    """
+
+    def __init__(self, inner: SampleSource, block: int,
+                 nblocks: int = 32):
+        super().__init__(inner.adc_clock)
+        from . import native
+        if native.NativeRing is None:  # pragma: no cover
+            raise RuntimeError("native ring unavailable (no compiler)")
+        import threading
+        self.inner = inner
+        self.block = block
+        self.ring = native.NativeRing(block, nblocks)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            if self.ring.fill >= 24:        # keep latency bounded
+                self._stop.wait(0.002)
+                continue
+            self.ring.push(self.inner.next_block(self.block))
+
+    def _produce(self, n: int) -> np.ndarray:
+        assert n == self.block
+        while True:
+            x = self.ring.pop()
+            if x is not None:
+                return x
+            import time
+            time.sleep(0.001)
+
+    @property
+    def overruns(self) -> int:
+        return self.ring.overruns
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)

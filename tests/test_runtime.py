@@ -93,3 +93,54 @@ def test_native_adpcm_matches_python():
     d1, d2 = adpcm.AdpcmState(), adpcm.AdpcmState()
     np.testing.assert_array_equal(adpcm_native.decode(enc_c, d1),
                                   adpcm._decode_py(enc_py, d2))
+
+
+def test_native_datapump_conversions():
+    from flydog_sdr_gps_tpu.runtime import native
+    if native.s24_to_f32 is None:
+        pytest.skip("no compiler")
+    rng = np.random.default_rng(0)
+    vals = rng.integers(-(1 << 23), 1 << 23, 128)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    got = native.s24_to_f32(raw, 2.0 ** -23)
+    assert np.allclose(got, vals.astype(np.float32) * 2.0 ** -23)
+    sw = native.s24_to_f32(raw, 1.0, iq_swap=True)
+    assert np.allclose(sw[0::2], vals[1::2])
+    b = native.f32_to_s16be(np.array([0.5, -1.5, 1.0], np.float32))
+    assert np.frombuffer(b, ">i2").tolist() == [16384, -32768, 32767]
+    sc = native.SeqCheck()
+    assert [sc.check(s) for s in (0, 1, 4, 5)] == [0, 0, 2, 0]
+    assert sc.total_gaps == 2
+
+
+def test_native_ring_and_threaded_source():
+    from flydog_sdr_gps_tpu.runtime import native, source
+    if native.NativeRing is None:
+        pytest.skip("no compiler")
+    r = native.NativeRing(8, nblocks=4)
+    for i in range(6):
+        r.push(np.full(8, i, np.float32))
+    assert r.overruns == 2 and r.fill == 4
+    assert r.pop()[0] == 2.0          # oldest two were dropped
+
+    src = source.ThreadedSource(
+        source.SyntheticSource(tones=[(1e6, 0.5)]), block=4096)
+    try:
+        a = src.next_block(4096)
+        b = src.next_block(4096)
+        assert a.shape == (4096,) and np.all(np.isfinite(a))
+        assert not np.array_equal(a, b)   # stream advances
+    finally:
+        src.close()
+
+
+def test_int24_file_source(tmp_path):
+    from flydog_sdr_gps_tpu.runtime import source
+    vals = np.array([1 << 22, -(1 << 22), 12345, -1], np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    p = tmp_path / "cap.s24"
+    p.write_bytes(raw * 8)
+    s = source.Int24FileSource(str(p), scale=2.0 ** -23)
+    x = s.next_block(8)
+    assert np.allclose(x[:4], vals / 2.0 ** 23)
+    assert s.ticks == 8
