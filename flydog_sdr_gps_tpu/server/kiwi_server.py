@@ -295,6 +295,7 @@ class KiwiServer:
         self.snr_history: list[dict] = []
         self.app = web.Application()
         self.app.router.add_get("/", self.http_root)
+        self.app.router.add_get("/about", self.http_about)
         self.app.router.add_get("/status", self.http_status)
         self.app.router.add_get("/users", self.http_users)
         self.app.router.add_get("/snr", self.http_snr)
@@ -418,8 +419,18 @@ class KiwiServer:
 
     # -- REST ------------------------------------------------------------
     async def http_root(self, request):
-        """Minimal landing page (the reference embeds its full JS UI;
-        the wire protocol is the compatibility surface here)."""
+        """The embedded receiver UI (EDATA_EMBED analogue,
+        `web/web.cpp:49-320`): waterfall/spectrum canvases, Web Audio
+        playback, tuning controls — see `server/webui.py`."""
+        from . import webui
+        name = self.cfg.string("rx_name") if self.cfg else "tpu-sdr"
+        return web.Response(
+            text=webui.render(name, self.ui_srate,
+                              self.engine.params.snd_rate),
+            content_type="text/html")
+
+    async def http_about(self, request):
+        """Plain-text summary page."""
         eng = self.engine
         users = sum(1 for c in self.conns.values()
                     if c.rx_chan is not None)

@@ -1,0 +1,256 @@
+"""Embedded browser UI — the L10 client layer.
+
+Reference: `web/openwebrx/openwebrx.js` + `web/kiwi/*.js` (~32k LoC
+JS: spectrum/waterfall canvases, AudioWorklet playback with ADPCM,
+tuning UI).  The reference compiles its UI into the server binary
+(EDATA_EMBED, `web/web.cpp:49-320`); this module does the idiomatic
+equivalent: one self-contained HTML document served at `/`.
+
+The client speaks the same wire protocol (`server/packets.py`):
+- `ws://host/{ts}/SND` — auth, `SET mod=... low_cut/high_cut/freq=`,
+  s16 big-endian audio with an S-meter header on every packet.
+- `ws://host/{ts}/W/F` — `SET zoom=.. start=..`, 1024-px u8 rows.
+
+Kept deliberately compact: uncompressed streams (`SET compression=0`),
+buffer-queue Web Audio playback at the native 12 kHz channel rate,
+canvas waterfall with the classic black-blue-green-yellow-red map.
+"""
+
+from __future__ import annotations
+
+PAGE = r"""<!doctype html>
+<html><head><meta charset="utf-8"><title>__NAME__</title>
+<style>
+ body { font-family: system-ui, sans-serif; background:#111; color:#ddd;
+        margin:0; padding:12px; }
+ h2 { margin:4px 0 10px; font-size:18px; }
+ #bar { display:flex; gap:8px; align-items:center; flex-wrap:wrap;
+        margin-bottom:8px; }
+ button, input, select { background:#222; color:#ddd; border:1px solid
+        #555; border-radius:4px; padding:4px 8px; font-size:13px; }
+ button.on { background:#2a6; color:#fff; }
+ #freq { width:110px; font-size:15px; text-align:right; }
+ canvas { display:block; width:1024px; max-width:100%; }
+ #smeter { width:160px; height:10px; background:#222;
+           border:1px solid #555; border-radius:3px; }
+ #smeter > div { height:100%; background:linear-gradient(90deg,#2a6,
+           #ff0,#f33); width:0%; border-radius:3px; }
+ #stat { font-size:12px; color:#888; margin-top:6px; }
+</style></head><body>
+<h2>__NAME__ — TPU SDR</h2>
+<div id="bar">
+ <button id="audio_btn">start audio</button>
+ <input id="freq" value="7100.00"> kHz
+ <span id="modes"></span>
+ zoom <input id="zoom" type="range" min="0" max="14" value="0"
+             style="width:100px">
+ <label><input type="checkbox" id="agc" checked> AGC</label>
+ sq <input id="sq" type="range" min="0" max="40" value="0"
+           style="width:70px">
+ <div id="smeter"><div id="smeter_fill"></div></div>
+ <span id="smeter_db">-127 dBm</span>
+</div>
+<canvas id="spec" width="1024" height="80"></canvas>
+<canvas id="wf" width="1024" height="360"></canvas>
+<div id="stat">connecting…</div>
+<script>
+"use strict";
+const MODES = ["am","sam","usb","lsb","cw","nbfm","iq"];
+const PB = { am:[-4900,4900], sam:[-4900,4900], usb:[300,2700],
+             lsb:[-2700,-300], cw:[300,700], nbfm:[-6000,6000],
+             iq:[-5000,5000] };
+const UI_SRATE = __UI_SRATE__;
+const AUDIO_RATE = __AUDIO_RATE__;
+const HZ_PER_START = UI_SRATE / (1024 * Math.pow(2, 14));
+let freq_khz = 7100.0, mode = "am", zoom = 0;
+let snd_ws = null, wf_ws = null, actx = null, playTime = 0;
+let rows = 0, pkts = 0;
+
+// ---- waterfall colormap (black->blue->green->yellow->red->white) ----
+const LUT = new Uint8ClampedArray(256 * 3);
+for (let i = 0; i < 256; i++) {
+  const x = i / 255, s = [[0,0,0],[0,0,96],[0,64,160],[0,160,96],
+        [192,192,0],[224,64,0],[255,64,64],[255,255,255]];
+  const p = x * (s.length - 1), k = Math.min(Math.floor(p), s.length-2),
+        f = p - k;
+  for (let c = 0; c < 3; c++)
+    LUT[3*i+c] = s[k][c] * (1-f) + s[k+1][c] * f;
+}
+
+function ts() { return "kiwi_" + Math.floor(Date.now() / 1000); }
+const TS = ts();
+
+function setMsg(ws, s) { if (ws && ws.readyState === 1) ws.send("SET " + s); }
+
+function retune() {
+  freq_khz = parseFloat(document.getElementById("freq").value) || freq_khz;
+  const pb = PB[mode];
+  setMsg(snd_ws, "mod=" + mode + " low_cut=" + pb[0] +
+         " high_cut=" + pb[1] + " freq=" + freq_khz.toFixed(3));
+  document.getElementById("freq").value = freq_khz.toFixed(2);
+  retuneWf();
+}
+
+function retuneWf() {
+  const span = UI_SRATE / Math.pow(2, zoom);
+  let cf = freq_khz * 1000;
+  cf = Math.max(span / 2, Math.min(cf, UI_SRATE - span / 2));
+  const start = (cf - span / 2) / HZ_PER_START;
+  setMsg(wf_ws, "zoom=" + zoom + " start=" + start.toFixed(0));
+  wfLeft = cf - span / 2; wfSpan = span;
+}
+let wfLeft = 0, wfSpan = UI_SRATE;
+
+// ---------------- SND stream ----------------
+function openSnd() {
+  snd_ws = new WebSocket("ws://" + location.host + "/" + TS + "/SND");
+  snd_ws.binaryType = "arraybuffer";
+  snd_ws.onopen = () => {
+    setMsg(snd_ws, "auth t=kiwi p=");
+    setMsg(snd_ws, "ident_user=webui");
+    setMsg(snd_ws, "compression=0");
+    retune();
+  };
+  snd_ws.onmessage = (e) => {
+    const u8 = new Uint8Array(e.data);
+    const tag = String.fromCharCode(u8[0], u8[1], u8[2]);
+    if (tag !== "SND") return;     // MSG frames: ignore (params known)
+    pkts++;
+    const dv = new DataView(e.data);
+    const smeter = dv.getUint16(8, false) / 10 - 127;
+    updSmeter(smeter);
+    const pcm = new Int16Array((u8.length - 10) / 2);
+    for (let i = 0; i < pcm.length; i++)
+      pcm[i] = dv.getInt16(10 + 2 * i, false);   // big-endian
+    if (actx) playPcm(pcm);
+  };
+  snd_ws.onclose = () => setTimeout(openSnd, 2000);
+}
+
+function playPcm(pcm) {
+  const f32 = new Float32Array(pcm.length);
+  for (let i = 0; i < pcm.length; i++) f32[i] = pcm[i] / 32768;
+  const buf = actx.createBuffer(1, f32.length, AUDIO_RATE);
+  buf.copyToChannel(f32, 0);
+  const src = actx.createBufferSource();
+  src.buffer = buf;
+  src.connect(actx.destination);
+  if (playTime < actx.currentTime + 0.05)
+    playTime = actx.currentTime + 0.15;
+  src.start(playTime);
+  playTime += buf.duration;
+}
+
+function updSmeter(dbm) {
+  const pct = Math.max(0, Math.min(100, (dbm + 127) / 127 * 100));
+  document.getElementById("smeter_fill").style.width = pct + "%";
+  document.getElementById("smeter_db").textContent =
+      dbm.toFixed(0) + " dBm";
+}
+
+// ---------------- W/F stream ----------------
+function openWf() {
+  wf_ws = new WebSocket("ws://" + location.host + "/" + TS + "/W/F");
+  wf_ws.binaryType = "arraybuffer";
+  wf_ws.onopen = () => {
+    setMsg(wf_ws, "auth t=kiwi p=");
+    setMsg(wf_ws, "compression=0");
+    setMsg(wf_ws, "wf speed=3");
+    retuneWf();
+  };
+  wf_ws.onmessage = (e) => {
+    const u8 = new Uint8Array(e.data);
+    if (String.fromCharCode(u8[0], u8[1], u8[2], u8[3]) !== "W/F ")
+      return;
+    drawRow(u8.subarray(16, 16 + 1024));
+  };
+  wf_ws.onclose = () => setTimeout(openWf, 2000);
+}
+
+const wfc = document.getElementById("wf").getContext("2d");
+const spc = document.getElementById("spec").getContext("2d");
+function drawRow(row) {
+  rows++;
+  // scroll down one line
+  wfc.drawImage(wfc.canvas, 0, 0, 1024, 359, 0, 1, 1024, 359);
+  const img = wfc.createImageData(1024, 1);
+  for (let i = 0; i < 1024; i++) {
+    // wire: u8 = 255 + dB (dB <= 0); display window [-110, -30] dB
+    const db = row[i] - 255;
+    let v = Math.round((db + 110) / 80 * 255);
+    v = Math.max(0, Math.min(255, v));
+    img.data[4*i] = LUT[3*v]; img.data[4*i+1] = LUT[3*v+1];
+    img.data[4*i+2] = LUT[3*v+2]; img.data[4*i+3] = 255;
+  }
+  wfc.putImageData(img, 0, 0);
+  // spectrum line
+  spc.fillStyle = "#000"; spc.fillRect(0, 0, 1024, 80);
+  spc.strokeStyle = "#4f4"; spc.beginPath();
+  for (let i = 0; i < 1024; i++) {
+    const db = row[i] - 255;
+    const y = 80 - Math.max(0, Math.min(80, (db + 110) / 80 * 80));
+    if (i === 0) spc.moveTo(i, y); else spc.lineTo(i, y);
+  }
+  spc.stroke();
+  // tuning cursor
+  const x = (freq_khz * 1000 - wfLeft) / wfSpan * 1024;
+  if (x >= 0 && x < 1024) {
+    spc.strokeStyle = "#ff0"; spc.beginPath();
+    spc.moveTo(x, 0); spc.lineTo(x, 80); spc.stroke();
+  }
+  document.getElementById("stat").textContent =
+    "rows " + rows + " · snd pkts " + pkts + " · mode " + mode +
+    " · zoom " + zoom + " · span " + (wfSpan/1e6).toFixed(3) + " MHz";
+}
+
+// ---------------- controls ----------------
+document.getElementById("wf").addEventListener("click", (e) => {
+  const r = e.target.getBoundingClientRect();
+  const fx = (e.clientX - r.left) / r.width;
+  freq_khz = (wfLeft + fx * wfSpan) / 1000;
+  document.getElementById("freq").value = freq_khz.toFixed(2);
+  retune();
+});
+document.getElementById("freq").addEventListener("change", retune);
+document.getElementById("zoom").addEventListener("input", (e) => {
+  zoom = parseInt(e.target.value); retuneWf();
+});
+document.getElementById("agc").addEventListener("change", (e) => {
+  setMsg(snd_ws, "agc=" + (e.target.checked ? 1 : 0) + " manGain=50");
+});
+document.getElementById("sq").addEventListener("input", (e) => {
+  setMsg(snd_ws, "squelch sq=" + e.target.value);
+});
+const modesEl = document.getElementById("modes");
+MODES.forEach((m) => {
+  const b = document.createElement("button");
+  b.textContent = m; b.id = "mode_" + m;
+  if (m === mode) b.classList.add("on");
+  b.onclick = () => {
+    mode = m;
+    modesEl.querySelectorAll("button").forEach(
+        (x) => x.classList.toggle("on", x === b));
+    retune();
+  };
+  modesEl.appendChild(b);
+});
+document.getElementById("audio_btn").onclick = () => {
+  if (!actx) {
+    actx = new (window.AudioContext || window.webkitAudioContext)(
+        { sampleRate: AUDIO_RATE });
+    document.getElementById("audio_btn").classList.add("on");
+    document.getElementById("audio_btn").textContent = "audio on";
+  }
+  actx.resume();
+};
+setInterval(() => { setMsg(snd_ws, "keepalive"); }, 5000);
+openSnd();
+openWf();
+</script></body></html>
+"""
+
+
+def render(name: str, ui_srate: float, audio_rate: int) -> str:
+    return (PAGE.replace("__NAME__", name)
+            .replace("__UI_SRATE__", str(float(ui_srate)))
+            .replace("__AUDIO_RATE__", str(int(audio_rate))))

@@ -1,0 +1,49 @@
+"""Run a live KiwiSDR-protocol server with a synthetic RF scene.
+
+Usage: python run_server.py [--port 8073] [--cpu] [--channels N]
+
+Scene: AM broadcast at 7.100 MHz (1 kHz music-ish tone), USB at
+14.201 MHz, carrier at 10.000 MHz — enough to explore with the web UI.
+"""
+import argparse
+import asyncio
+
+p = argparse.ArgumentParser()
+p.add_argument("--port", type=int, default=8073)
+p.add_argument("--cpu", action="store_true")
+p.add_argument("--channels", type=int, default=4)
+p.add_argument("--realtime", action="store_true", default=True)
+args = p.parse_args()
+
+if args.cpu:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+from flydog_sdr_gps_tpu.models import rx_channel as rx  # noqa: E402
+from flydog_sdr_gps_tpu.runtime import (  # noqa: E402
+    StreamEngine, SyntheticSource)
+from flydog_sdr_gps_tpu.server import KiwiServer  # noqa: E402
+
+
+def am_mod(t):
+    return 1.0 + 0.6 * np.sin(2 * np.pi * 1000.0 * t) \
+        * np.sin(2 * np.pi * 2.1 * t)
+
+
+params = rx.RxParams(num_channels=args.channels, audio_block=128)
+src = SyntheticSource(
+    tones=[(7.100e6, 0.30, am_mod),
+           (14.2018e6, 0.15),          # USB voice-ish tone @ 14.201
+           (10.000e6, 0.20)],
+    noise_rms=3e-4)
+eng = StreamEngine(params, src)
+server = KiwiServer(eng, port=args.port, realtime=args.realtime)
+
+
+async def main():
+    await server.start()
+    print(f"ready on http://127.0.0.1:{args.port}/", flush=True)
+    await asyncio.Event().wait()
+
+asyncio.run(main())

@@ -151,3 +151,83 @@ async def scenario():
 
 def test_end_to_end_ws_audio_and_waterfall():
     asyncio.run(scenario())
+
+
+# ---------------------------------------------------------------- web UI
+
+async def webui_scenario():
+    """Drive the server exactly as the embedded web UI's JS does
+    (`server/webui.py`): uncompressed SND + W/F, UI tuning formula."""
+    server = make_server()
+    runner = await server.start()
+    try:
+        async with aiohttp.ClientSession() as session:
+            # the UI page itself
+            async with session.get(
+                    f"http://127.0.0.1:{PORT}/") as resp:
+                page = await resp.text()
+            assert "audio_btn" in page and "W/F" in page
+            assert "AUDIO_RATE = 12000" in page
+            assert "UI_SRATE = 30000000" in page
+
+            snd = await ws_connect(session, "SND")
+            await snd.send_str("SET auth t=kiwi p=")
+            await snd.send_str("SET compression=0")
+            # scene tone at 14.201 MHz; tune 800 Hz below -> 800 Hz
+            await snd.send_str(
+                "SET mod=usb low_cut=300 high_cut=2700 freq=14200.200")
+
+            wf = await ws_connect(session, "W/F")
+            await wf.send_str("SET auth t=kiwi p=")
+            # UI formula: start = (cf - span/2) / (ui_srate / (1024<<14))
+            zoom = 5
+            span = 30e6 / 2 ** zoom
+            cf = max(span / 2, min(14.201e6, 30e6 - span / 2))
+            start = (cf - span / 2) / (30e6 / (1024 << 14))
+            await wf.send_str(f"SET zoom={zoom} start={start:.0f}")
+
+            pcm = []
+            need_pkts = 30
+            row = None
+            async def pump(ws, handler):
+                while True:
+                    m = await asyncio.wait_for(ws.receive(), timeout=60)
+                    if m.type != aiohttp.WSMsgType.BINARY:
+                        continue
+                    if handler(m.data):
+                        return
+            def on_snd(data):
+                if not data.startswith(b"SND"):
+                    return False
+                flags = data[3]
+                assert not flags & packets.SND_FLAG_COMPRESSED
+                pcm.append(np.frombuffer(data[10:], ">i2"))
+                return len(pcm) >= need_pkts
+            def on_wf(data):
+                nonlocal row
+                if not data.startswith(b"W/F "):
+                    return False
+                zoom_flags = struct.unpack("<I", data[8:12])[0]
+                assert not zoom_flags & packets.WF_FLAGS_COMPRESSION
+                row = np.frombuffer(data[16:16 + 1024], np.uint8)
+                return True
+            await asyncio.gather(pump(snd, on_snd), pump(wf, on_wf))
+
+            audio = np.concatenate(pcm).astype(np.float64) / 32768.0
+            audio = audio[len(audio) // 2:]          # skip AGC attack
+            w = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
+            f = np.argmax(w) * 12000.0 / len(audio)
+            # USB at 14.201 MHz hears the 14.2018 tone at ~800 Hz
+            assert abs(f - 800.0) < 40, f
+            # WF row: peak near the center pixel (cf = signal freq)
+            pk = int(np.argmax(row))
+            assert abs(pk - 512) < 24, pk
+            assert row.max() > np.median(row) + 30
+    finally:
+        await server.stop()
+        await runner.cleanup()
+
+
+def test_webui_protocol():
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
+        webui_scenario())
