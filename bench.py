@@ -31,13 +31,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 REFERENCE_CHANNELS = 14.0      # rx14: most channels/device the ref runs
-C = 1024
+C = int(os.environ.get("BENCH_C", "2048"))
 
 
 def log(*a):

@@ -232,11 +232,40 @@ def stage1_apply(plan: DDCPlan, x_ext: jax.Array,
     frames = frame(x_ext, plan.d1, plan.m1)            # (k1, L1)
     yr = jnp.dot(frames, bank_r, precision=precision)
     yi = jnp.dot(frames, bank_i, precision=precision)
-    ph = nco.phase_ramp_long(phi1, dphi1,
-                             frames.shape[0])          # (k1, C) cycles
-    ang = (-2.0 * np.pi) * ph
-    c, s = jnp.cos(ang), jnp.sin(ang)
-    return Cplx(yr * c - yi * s, yr * s + yi * c)
+    k1 = frames.shape[0]
+    # Per-step channel rotation rot[k,c] = exp(-2pij*(phi_c + k*dphi_c)).
+    # Materializing sin/cos over (k1, C) ~ 32M elements dominated the
+    # whole stage; instead decompose k = a*T + b so the phase splits as
+    # (phi + b*dphi) + a*(T*dphi) — two SMALL tables (exact limb math),
+    # combined by one broadcast complex multiply per element.
+    T = 128
+    A = -(-k1 // T)
+    phB = nco.phase_ramp(phi1, dphi1, T)               # (T, C)
+    dphiT = nco.advance(jnp.zeros_like(dphi1), dphi1, T)
+    phA = nco.phase_ramp(jnp.zeros_like(phi1), dphiT, A)   # (A, C)
+    angB = (-2.0 * np.pi) * phB
+    angA = (-2.0 * np.pi) * phA
+    cB, sB = jnp.cos(angB), jnp.sin(angB)
+    cA, sA = jnp.cos(angA), jnp.sin(angA)
+    C = yr.shape[1]
+    pad = A * T - k1
+    if pad:
+        yr = jnp.pad(yr, ((0, pad), (0, 0)))
+        yi = jnp.pad(yi, ((0, pad), (0, 0)))
+    yr = yr.reshape(A, T, C)
+    yi = yi.reshape(A, T, C)
+    # y * rotB  (broadcast over a)
+    r1 = yr * cB - yi * sB
+    i1 = yr * sB + yi * cB
+    # * rotA  (broadcast over b)
+    cA = cA[:, None, :]
+    sA = sA[:, None, :]
+    out_r = (r1 * cA - i1 * sA).reshape(A * T, C)
+    out_i = (r1 * sA + i1 * cA).reshape(A * T, C)
+    if pad:
+        out_r = out_r[:k1]
+        out_i = out_i[:k1]
+    return Cplx(out_r, out_i)
 
 
 def stage2_apply(plan: DDCPlan, y_ext: Cplx,
