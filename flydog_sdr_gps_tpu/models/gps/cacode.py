@@ -62,7 +62,7 @@ def ca_code_sampled(prn: int, fs: float, n: int,
     same zero-order hold the FPGA code NCO performs
     (`verilog/gps/demod.v:72-107`).
     """
-    code = ca_code(prn).astype(np.float32)
+    code = ca_code_any(prn).astype(np.float32)
     idx = (code_phase_chips
            + np.arange(n, dtype=np.float64) * chip_rate / fs)
     return code[np.floor(idx).astype(np.int64) % L1_CODELEN]
@@ -87,3 +87,62 @@ def load_e1b_codes(path: str) -> dict[int, np.ndarray]:
             out[prn] = np.asarray(
                 [1 - 2 * int(b) for b in bits], np.int8)
     return out
+
+
+# G2-delay-specified PRNs (IS-GPS-200 table 3-I delays for 1..37;
+# SBAS/QZSS entries as documented in the reference `gps/sats.cpp:63-98`
+# — WAAS/EGNOS/GATBP/MSAS, and the commissioned QZSS L1 C/A birds).
+G2_DELAYS = {
+    # Navstar (cross-check against the tap table)
+    1: 5, 2: 6, 3: 7, 4: 8, 5: 17, 6: 18, 7: 139, 8: 140, 9: 141,
+    10: 251, 11: 252, 12: 254, 13: 255, 14: 256, 15: 257, 16: 258,
+    17: 469, 18: 470, 19: 471, 20: 472, 21: 473, 22: 474, 23: 509,
+    24: 512, 25: 513, 26: 514, 27: 515, 28: 516, 29: 859, 30: 860,
+    31: 861, 32: 862,
+    # SBAS (WAAS 131/133/135/138/140, EGNOS 120/123/136, GATBP 122,
+    # MSAS 129/137)
+    120: 145, 122: 52, 123: 21, 129: 762, 131: 1012, 133: 603,
+    135: 359, 136: 595, 137: 68, 138: 386, 140: 456,
+    # QZSS L1 C/A (sats.cpp: QZS-2/-4/-1R/-3)
+    194: 208, 195: 711, 196: 189, 199: 663,
+}
+
+QZSS_PRNS = (194, 195, 196, 199)
+SBAS_PRNS = (120, 122, 123, 129, 131, 133, 135, 136, 137, 138, 140)
+
+
+@functools.lru_cache(maxsize=None)
+def _g1_seq() -> np.ndarray:
+    g1 = np.ones(10, np.int8)
+    out = np.empty(L1_CODELEN, np.int8)
+    for i in range(L1_CODELEN):
+        out[i] = g1[9]
+        fb = g1[2] ^ g1[9]
+        g1[1:] = g1[:-1]
+        g1[0] = fb
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _g2_seq() -> np.ndarray:
+    g2 = np.ones(10, np.int8)
+    out = np.empty(L1_CODELEN, np.int8)
+    for i in range(L1_CODELEN):
+        out[i] = g2[9]
+        fb = g2[1] ^ g2[2] ^ g2[5] ^ g2[7] ^ g2[8] ^ g2[9]
+        g2[1:] = g2[:-1]
+        g2[0] = fb
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def ca_code_any(prn: int) -> np.ndarray:
+    """C/A code for any G2-delay-specified PRN (Navstar, SBAS, QZSS),
+    int8 in {+1, -1}.  chip[i] = G1[i] xor G2[i - delay]."""
+    if prn in _G2_TAPS:
+        return ca_code(prn)
+    if prn not in G2_DELAYS:
+        raise ValueError(f"PRN {prn}: no G2 delay known")
+    g1, g2 = _g1_seq(), _g2_seq()
+    chips = g1 ^ np.roll(g2, G2_DELAYS[prn])
+    return (1 - 2 * chips).astype(np.int8)

@@ -45,7 +45,7 @@ class GpsManager:
     """Drives acquisition/tracking/solution from streamed IF blocks."""
 
     def __init__(self, max_chans: int = GPS_MAX_CHANS,
-                 prns=tuple(range(1, 33)),
+                 prns=tuple(range(1, 33)) + cacode.QZSS_PRNS,
                  acq_params: acquisition.AcqParams | None = None,
                  track_params: tracking.TrackParams | None = None,
                  min_snr: float = 30.0,   # peak/mean; noise plane

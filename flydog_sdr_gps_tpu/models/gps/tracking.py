@@ -98,7 +98,7 @@ def init_track_state(params: TrackParams, prns, code_phases, dopplers
         qp_prev=jnp.zeros((nch,), jnp.float32),
         active=jnp.ones((nch,), bool),
     )
-    table = np.concatenate([cacode.ca_code(p).astype(np.float32)
+    table = np.concatenate([cacode.ca_code_any(p).astype(np.float32)
                             for p in prns])
     return state, jnp.asarray(table)
 

@@ -30,7 +30,7 @@ def synth_if(sats, n, fs=GPS_FS, fc=GPS_FC, noise=0.7, seed=0,
     x = noise * rng.standard_normal(n)
     for (prn, cp, fd, amp) in sats:
         chip_rate = 1.023e6 * (1 + fd / L1)
-        code = cacode.ca_code(prn).astype(np.float64)
+        code = cacode.ca_code_any(prn).astype(np.float64)
         idx = np.floor(cp + t * chip_rate).astype(np.int64)
         c = code[idx % L1_CODELEN]
         if bits and prn in bits:
@@ -301,3 +301,37 @@ def test_subframe_assembler_handles_bpsk_inversion():
     got = asm.feed(make_lnav_bitstream(src, subs=(2,), invert=True))
     assert got == [2]
     assert abs(asm.eph.toe - src.toe) < 1e-6
+
+
+def test_qzss_sbas_codes():
+    """G2-delay PRNs: the octal listed per sat is the first 10 chips
+    of the delayed G2 (reference `gps/sats.cpp:63-98`)."""
+    g2 = cacode._g2_seq()
+    for prn, init in ((194, 0o1607), (195, 0o1747), (196, 0o1305),
+                      (199, 0o727), (120, 0o1106), (131, 0o551),
+                      (137, 0o1007)):
+        d = cacode.G2_DELAYS[prn]
+        val = int("".join(map(str, np.roll(g2, d)[:10])), 2)
+        assert val == init, (prn, oct(val), oct(init))
+    # codes are balanced-ish and distinct from every Navstar code
+    c194 = cacode.ca_code_any(194)
+    assert abs(int(c194.sum())) <= 65
+    for prn in range(1, 33):
+        xc = np.abs(np.correlate(c194.astype(np.float64),
+                                 cacode.ca_code_any(prn).astype(
+                                     np.float64), "valid"))
+        assert xc < 200     # well below the 1023 autocorr peak
+
+
+def test_acquisition_finds_qzss():
+    p = acquisition.AcqParams()
+    sats = [(194, 300.5, 1200.0, 1.0), (196, 512.25, -2100.0, 1.0)]
+    raw = synth_if(sats, p.n_raw)
+    res = acquisition.acquire_all(p, raw, prns=(194, 195, 196, 199))
+    byprn = {r["prn"]: r for r in res}
+    assert byprn[194]["snr"] > 12 and byprn[196]["snr"] > 12, res
+    assert abs(byprn[194]["doppler"] - 1200.0) < 130
+    assert abs(byprn[196]["doppler"] + 2100.0) < 130
+    # 195 is not transmitted: only Gold-family cross-correlation
+    # leakage remains, well below the true peaks
+    assert byprn[195]["snr"] < byprn[194]["snr"] * 0.5, byprn
