@@ -108,6 +108,7 @@ class RxTuning:
     manual_gain_db: jax.Array    # (C,) float32, NaN = AGC on
     squelch_thresh: jax.Array    # (C,) float32, <=0 = open
     nb_on: jax.Array             # (C,) bool noise blanker enable
+    nb_wild: jax.Array           # (C,) bool: NB_WILD (interp) vs NB_STD
     nr_on: jax.Array             # (C,) bool spectral NR enable
     fm_deviation: jax.Array      # () float32
 
@@ -170,6 +171,7 @@ def default_tuning(params: RxParams,
         manual_gain_db=jnp.full((c,), np.nan, jnp.float32),
         squelch_thresh=jnp.zeros((c,), jnp.float32),
         nb_on=jnp.zeros((c,), bool),
+        nb_wild=jnp.zeros((c,), bool),
         nr_on=jnp.zeros((c,), bool),
         fm_deviation=jnp.float32(2500.0),
     )
@@ -216,7 +218,12 @@ def rx_block(params: RxParams, state: RxState, tuning: RxTuning,
     new_ddc, iq = _ddc(params, state, tuning, x_adc)
 
     # --- noise blanker on raw IQ (reference taps pre-FIR) ---
-    nb_iq, nb_mavg = noise_ops.noise_blanker(iq, state.nb_mavg)
+    # two algorithms, per-channel select: NB_STD zeroes the impulse
+    # window (CuteSDR CNoiseProc), NB_WILD bridges it by interpolation
+    # (Teensy NB_Wild) — `rx/rx_sound.cpp:910-920` dispatch
+    nb_std, nb_mavg = noise_ops.noise_blanker(iq, state.nb_mavg)
+    nb_wld, _ = noise_ops.noise_blanker_wild(iq, state.nb_mavg)
+    nb_iq = cplx_ops.where(tuning.nb_wild[None, :], nb_wld, nb_std)
     iq_nb = cplx_ops.where(tuning.nb_on[None, :], nb_iq, iq)
 
     # --- passband filter (batched FFT) ---

@@ -217,3 +217,51 @@ def lms_block(params: LmsParams, x: jax.Array, state: LmsState
 
     (w, line), y = lax.scan(step, (state.weights, state.line), x)
     return y.astype(x.dtype), LmsState(weights=w, line=line)
+
+
+# ---------------------------------------------------------------------------
+# NB_WILD — interpolating impulse blanker (`rx/Teensy/NB_Wild.cpp`)
+# ---------------------------------------------------------------------------
+
+def noise_blanker_wild(x: Cplx, mavg: jax.Array,
+                       gate_mult: float = 4.0, width: int = 7,
+                       alpha: float = 0.02) -> tuple[Cplx, jax.Array]:
+    """Impulse blanker that INTERPOLATES across the blanked span
+    instead of zeroing it (the Teensy-ConvolutionSDR "wild" blanker) —
+    zeroing leaves an audible hole, bridging doesn't.
+
+    Fully vectorized: for every sample, the index of the previous and
+    next good sample is found with running max/reversed running max,
+    then the gap is filled by linear interpolation between them.
+    Shapes as :func:`noise_blanker`.
+    """
+    mag = x.abs()
+    block_mean = jnp.mean(mag, axis=0)
+    new_mavg = (1.0 - alpha) * mavg + alpha * block_mean
+    thresh = jnp.maximum(new_mavg, 1e-9) * gate_mult
+    hit = mag > thresh[None, :]
+    pad = jnp.zeros((width, hit.shape[1]), bool)
+    h = jnp.concatenate([pad, hit, pad], axis=0)
+    dil = hit
+    for k in range(1, width + 1):
+        dil = dil | h[width - k:width - k + hit.shape[0]]
+        dil = dil | h[width + k:width + k + hit.shape[0]]
+    n = x.re.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    good = ~dil
+    # previous good index (or 0), next good index (or n-1)
+    prev_i = lax.cummax(jnp.where(good, idx, -1), axis=0)
+    next_i = -lax.cummax(jnp.where(good, -idx, -(n + 1))[::-1],
+                         axis=0)[::-1]
+    prev_i = jnp.clip(prev_i, 0, n - 1)
+    next_i = jnp.clip(next_i, 0, n - 1)
+    span = jnp.maximum(next_i - prev_i, 1).astype(jnp.float32)
+    frac = (idx - prev_i).astype(jnp.float32) / span
+
+    def bridge(v):
+        vp = jnp.take_along_axis(v, prev_i, axis=0)
+        vn = jnp.take_along_axis(v, next_i, axis=0)
+        fill = vp + (vn - vp) * frac
+        return jnp.where(dil, fill, v)
+
+    return Cplx(bridge(x.re), bridge(x.im)), new_mavg

@@ -80,7 +80,7 @@ def _tuning_specs() -> rx.RxTuning:
         dphi1=P("chan", None),
         pb_coef=Cplx(P(None, cc), P(None, cc)),
         mode=P(cc), manual_gain_db=P(cc), squelch_thresh=P(cc),
-        nb_on=P(cc), nr_on=P(cc), fm_deviation=P(),
+        nb_on=P(cc), nb_wild=P(cc), nr_on=P(cc), fm_deviation=P(),
     )
 
 

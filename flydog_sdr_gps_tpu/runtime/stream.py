@@ -45,6 +45,7 @@ class ChannelCtl:
     manual_gain_db: float = 50.0
     squelch: float = 0.0
     nb_on: bool = False
+    nb_wild: bool = False
     nr_on: bool = False
     in_use: bool = False
 
@@ -112,6 +113,7 @@ class StreamEngine:
                 np.nan if ctl.agc_on else ctl.manual_gain_db),
             squelch_thresh=t.squelch_thresh.at[ch].set(ctl.squelch),
             nb_on=t.nb_on.at[ch].set(ctl.nb_on),
+            nb_wild=t.nb_wild.at[ch].set(ctl.nb_wild),
             nr_on=t.nr_on.at[ch].set(ctl.nr_on))
 
     def retune_all(self, adc_clock_corrected: float) -> None:

@@ -121,7 +121,12 @@ class Connection:
             self.little_endian = True
         elif cmd == "nb":
             if ch is not None:
-                eng.set_channel(ch, nb_on=p.get("on", "0") in ("1", "true"))
+                kw = {}
+                if "on" in p:
+                    kw["nb_on"] = p.get("on", "0") in ("1", "true")
+                if "algo" in p:      # 1=NB_STD, 2=NB_WILD (ref numbering)
+                    kw["nb_wild"] = p.get("algo") == "2"
+                eng.set_channel(ch, **kw)
         elif cmd == "zoom":
             self.zoom = int(p.get("zoom", 0))
             self.start_bin = int(float(p.get("start", 0)))
@@ -191,14 +196,15 @@ class Connection:
 
     # -- per-block emitters ---------------------------------------------
     async def emit_snd_np(self, audio_np: np.ndarray,
-                          iq_np: tuple | None, smeter: float) -> None:
+                          iq_np: tuple | None, smeter: float,
+                          adc_ovfl: bool = False) -> None:
         """Send one SND packet from the block's (already fetched) host
         copies — one device fetch serves every connection."""
         if self.snd_ws is None or self.snd_ws.closed or \
                 self.rx_chan is None:
             return
         ch = self.rx_chan
-        flags = 0
+        flags = packets.SND_FLAG_ADC_OVFL if adc_ovfl else 0
         eng = self.server.engine
         if self.iq_mode and iq_np is not None:
             re = iq_np[0][:, ch]
@@ -293,6 +299,7 @@ class KiwiServer:
         # CIDR blacklist (net/ip_blacklist.cpp analogue)
         self.ip_blacklist: list[tuple[int, int]] = []
         self.snr_history: list[dict] = []
+        self.adc_ov_count = 0
         self.app = web.Application()
         self.app.router.add_get("/", self.http_root)
         self.app.router.add_get("/about", self.http_about)
@@ -463,7 +470,7 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             "gps": "(0, 0)",
             "gps_good": 0,
             "fixes": 0,
-            "adc_ov": 0,
+            "adc_ov": self.adc_ov_count,
             "bands": int(self.ui_srate / 1e3),
             "freq_offset": 0.0,
             "sw_version": f"KiwiSDR_TPU_v{__version__}",
@@ -564,12 +571,20 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             # would blow the 42.7 ms real-time budget
             need_iq = any(c.iq_mode for c in self.conns.values())
             import jax
-            fetch = (taps.audio, taps.smeter_dbm) + (
+            peak = (jnp.max(jnp.abs(self.engine._last_x))
+                    if self.engine._last_x is not None else jnp.float32(0))
+            fetch = (taps.audio, taps.smeter_dbm, peak) + (
                 (taps.iq_post_agc.re, taps.iq_post_agc.im)
                 if need_iq else ())
             got = await loop.run_in_executor(None, jax.device_get, fetch)
             audio_np, smeter = got[0], got[1]
-            iq_np = (got[2], got[3]) if need_iq else None
+            # ADC overflow: input at/over full scale (the reference
+            # latches the FPGA ADC_OVFL line into the SND header and
+            # /status, rx/rx_util.cpp)
+            adc_ovfl = bool(got[2] >= 0.99)
+            if adc_ovfl:
+                self.adc_ov_count += 1
+            iq_np = (got[4], got[5]) if need_iq else None
             x_dev = None
             for conn in list(self.conns.values()):
                 try:
@@ -577,7 +592,8 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                             conn.rx_chan is not None:
                         await conn.emit_snd_np(
                             audio_np, iq_np,
-                            float(smeter[conn.rx_chan]))
+                            float(smeter[conn.rx_chan]),
+                            adc_ovfl=adc_ovfl)
                     if conn.authed and conn.wf_ws is not None and \
                             conn.wf_params is not None:
                         if x_dev is None:

@@ -315,3 +315,28 @@ def test_smeter_level():
     assert abs(float(peak[0]) - expect) < 0.5
     wire = int(np.asarray(smeter.smeter_wire(peak))[0])
     assert wire == round((expect + 127) * 10)
+
+
+def test_noise_blanker_wild_bridges():
+    """NB_WILD interpolates across impulses instead of zeroing
+    (`rx/Teensy/NB_Wild.cpp` behavior)."""
+    from flydog_sdr_gps_tpu.ops import noise
+    from flydog_sdr_gps_tpu.ops.cplx import Cplx
+    import jax.numpy as jnp
+    n, C = 512, 3
+    t = np.arange(n)
+    clean = np.cos(2 * np.pi * 0.01 * t)[:, None] * np.ones((1, C))
+    x = clean.copy()
+    x[100, :] += 30.0
+    x[101, :] -= 25.0
+    y, _ = noise.noise_blanker_wild(
+        Cplx(jnp.asarray(x, jnp.float32), jnp.zeros((n, C), jnp.float32)),
+        jnp.full((C,), 1.0, jnp.float32))
+    y = np.asarray(y.re)
+    assert np.abs(y[90:115, 0] - clean[90:115, 0]).max() < 0.15
+    assert np.abs(y[300:400] - clean[300:400]).max() < 1e-5
+    # std blanker zeroes the same region (the audible-hole contrast)
+    ys, _ = noise.noise_blanker(
+        Cplx(jnp.asarray(x, jnp.float32), jnp.zeros((n, C), jnp.float32)),
+        jnp.full((C,), 1.0, jnp.float32))
+    assert np.abs(np.asarray(ys.re)[100, 0]) < 1e-6
