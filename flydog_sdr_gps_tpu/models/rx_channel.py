@@ -43,6 +43,7 @@ from ..ops import demod as demod_ops
 from ..ops import fastfir
 from ..ops import iir
 from ..ops import noise as noise_ops
+from ..ops import iir as iir_ops
 from ..ops import smeter as smeter_ops
 from ..ops import nco
 
@@ -109,6 +110,8 @@ class RxTuning:
     squelch_thresh: jax.Array    # (C,) float32, <=0 = open
     nb_on: jax.Array             # (C,) bool noise blanker enable
     nb_wild: jax.Array           # (C,) bool: NB_WILD (interp) vs NB_STD
+    deemph_on: jax.Array         # (C,) bool NBFM/AM de-emphasis
+    mute_over_dbm: jax.Array     # (C,) f32 overload mute threshold
     nr_on: jax.Array             # (C,) bool spectral NR enable
     fm_deviation: jax.Array      # () float32
 
@@ -127,6 +130,7 @@ class RxState:
     nb_mavg: jax.Array            # (C,) float32
     nr: noise_ops.SpectralNRState
     smeter: jax.Array             # (C,) float32 filtered power
+    deemph: jax.Array             # (C,) float32 de-emphasis z1
 
 
 def init_state(params: RxParams) -> RxState:
@@ -143,6 +147,7 @@ def init_state(params: RxParams) -> RxState:
         nb_mavg=jnp.full((c,), 1e-3, jnp.float32),
         nr=noise_ops.init_spectral_nr(params.nr, c),
         smeter=jnp.zeros((c,), jnp.float32),
+        deemph=jnp.zeros((c,), jnp.float32),
     )
 
 
@@ -172,6 +177,8 @@ def default_tuning(params: RxParams,
         squelch_thresh=jnp.zeros((c,), jnp.float32),
         nb_on=jnp.zeros((c,), bool),
         nb_wild=jnp.zeros((c,), bool),
+        deemph_on=jnp.zeros((c,), bool),
+        mute_over_dbm=jnp.full((c,), 20.0, jnp.float32),
         nr_on=jnp.zeros((c,), bool),
         fm_deviation=jnp.float32(2500.0),
     )
@@ -264,10 +271,23 @@ def rx_block(params: RxParams, state: RxState, tuning: RxTuning,
     else:
         nr_state = state.nr
 
+    # --- de-emphasis: one-pole 75 us LPF (`rx_sound.cpp:898-908`) ---
+    alpha = jnp.float32(1.0 - np.exp(-1.0 / (params.fs_out * 75e-6)))
+    de_audio = iir_ops.one_pole_smoother(audio, alpha, state.deemph)
+    audio = jnp.where(tuning.deemph_on[None, :], de_audio, audio)
+    deemph_state = jnp.where(tuning.deemph_on, de_audio[-1],
+                             state.deemph)
+
+    # --- overload mute (`rx_sound.cpp:989-1014`): hard-mute channels
+    # whose peak exceeds the configured limit ---
+    audio = jnp.where((smeter_peak > tuning.mute_over_dbm)[None, :],
+                      0.0, audio)
+
     new_state = RxState(
         ddc=new_ddc, fir_tail=fir_tail, agc=agc_state, dc=dc_state,
         sam=sam_state, fm_last=fm_last, squelch=squelch_state,
         nb_mavg=nb_mavg, nr=nr_state, smeter=smeter_level,
+        deemph=deemph_state,
     )
     taps = RxTaps(audio=audio, iq_pre_fir=iq, iq_post_agc=zg,
                   smeter_dbm=smeter_peak)

@@ -44,6 +44,7 @@ from ..ops import demod as demod_ops
 from ..ops import fastfir
 from ..ops import nco
 from ..ops import noise as noise_ops
+from ..ops import iir as iir_ops
 from ..ops import smeter as smeter_ops
 from ..ops.cplx import Cplx
 
@@ -70,6 +71,7 @@ def _state_specs(params: rx.RxParams) -> rx.RxState:
             in_tail=P(None, cc), out_tail=P(None, cc),
             psd_smooth=P(None, cc), min_ring=P(None, None, cc)),
         smeter=P(cc),
+        deemph=P(cc),
     )
 
 
@@ -80,7 +82,8 @@ def _tuning_specs() -> rx.RxTuning:
         dphi1=P("chan", None),
         pb_coef=Cplx(P(None, cc), P(None, cc)),
         mode=P(cc), manual_gain_db=P(cc), squelch_thresh=P(cc),
-        nb_on=P(cc), nb_wild=P(cc), nr_on=P(cc), fm_deviation=P(),
+        nb_on=P(cc), nb_wild=P(cc), deemph_on=P(cc),
+        mute_over_dbm=P(cc), nr_on=P(cc), fm_deviation=P(),
     )
 
 
@@ -208,7 +211,9 @@ def _back_half(params: rx.RxParams, state: rx.RxState,
                ) -> tuple[rx.RxState, rx.RxTaps]:
     """The audio-rate chain on the local channel group (pure, local)."""
     d = demod_ops
-    nb_iq, nb_mavg = noise_ops.noise_blanker(iq, state.nb_mavg)
+    nb_std, nb_mavg = noise_ops.noise_blanker(iq, state.nb_mavg)
+    nb_wld, _ = noise_ops.noise_blanker_wild(iq, state.nb_mavg)
+    nb_iq = cplx_ops.where(tuning.nb_wild[None, :], nb_wld, nb_std)
     iq_nb = cplx_ops.where(tuning.nb_on[None, :], nb_iq, iq)
     z, fir_tail = fastfir.fastfir_block(params.fir, iq_nb, state.fir_tail,
                                         tuning.pb_coef)
@@ -235,11 +240,17 @@ def _back_half(params: rx.RxParams, state: rx.RxState,
         audio = jnp.where(tuning.nr_on[None, :], nr_audio, audio)
     else:
         nr_state = state.nr
+    alpha = jnp.float32(1.0 - np.exp(-1.0 / (params.fs_out * 75e-6)))
+    de_audio = iir_ops.one_pole_smoother(audio, alpha, state.deemph)
+    audio = jnp.where(tuning.deemph_on[None, :], de_audio, audio)
+    deemph_state = jnp.where(tuning.deemph_on, de_audio[-1], state.deemph)
+    audio = jnp.where((smeter_peak > tuning.mute_over_dbm)[None, :],
+                      0.0, audio)
     new_state = rx.RxState(
         ddc=state.ddc,  # replaced by caller
         fir_tail=fir_tail, agc=agc_state, dc=dc_state, sam=sam_state,
         fm_last=fm_last, squelch=squelch_state, nb_mavg=nb_mavg,
-        nr=nr_state, smeter=smeter_level,
+        nr=nr_state, smeter=smeter_level, deemph=deemph_state,
     )
     taps = rx.RxTaps(audio=audio, iq_pre_fir=iq, iq_post_agc=zg,
                      smeter_dbm=smeter_peak)

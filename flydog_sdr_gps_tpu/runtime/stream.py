@@ -46,6 +46,8 @@ class ChannelCtl:
     squelch: float = 0.0
     nb_on: bool = False
     nb_wild: bool = False
+    deemph_on: bool = False
+    mute_over_dbm: float = 20.0
     nr_on: bool = False
     in_use: bool = False
 
@@ -114,6 +116,9 @@ class StreamEngine:
             squelch_thresh=t.squelch_thresh.at[ch].set(ctl.squelch),
             nb_on=t.nb_on.at[ch].set(ctl.nb_on),
             nb_wild=t.nb_wild.at[ch].set(ctl.nb_wild),
+            deemph_on=t.deemph_on.at[ch].set(ctl.deemph_on),
+            mute_over_dbm=t.mute_over_dbm.at[ch].set(
+                ctl.mute_over_dbm),
             nr_on=t.nr_on.at[ch].set(ctl.nr_on))
 
     def retune_all(self, adc_clock_corrected: float) -> None:

@@ -119,6 +119,9 @@ class Connection:
             self.adpcm_snd = adpcm.AdpcmState()
         elif cmd == "little-endian":
             self.little_endian = True
+        elif cmd == "de_emp" and ch is not None:
+            eng.set_channel(ch, deemph_on=p.get("de_emp", "0")
+                            not in ("0", "false"))
         elif cmd == "nb":
             if ch is not None:
                 kw = {}

@@ -340,3 +340,52 @@ def test_noise_blanker_wild_bridges():
         Cplx(jnp.asarray(x, jnp.float32), jnp.zeros((n, C), jnp.float32)),
         jnp.full((C,), 1.0, jnp.float32))
     assert np.abs(np.asarray(ys.re)[100, 0]) < 1e-6
+
+
+def test_deemphasis_and_overload_mute():
+    """75 us de-emphasis rolls off highs; overload mutes hot channels
+    (`rx_sound.cpp:898-908, 989-1014`)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from flydog_sdr_gps_tpu.models import rx_channel as rx
+    from flydog_sdr_gps_tpu.ops import demod
+    params = rx.RxParams(num_channels=2, audio_block=128)
+    tuning = rx.default_tuning(
+        params, freqs_hz=[7.1e6, 7.1e6],
+        modes=[demod.MODE_NBFM, demod.MODE_NBFM])
+    tuning = dataclasses.replace(
+        tuning,
+        deemph_on=jnp.asarray([True, False]),
+        manual_gain_db=jnp.full(2, 30.0, jnp.float32),  # AGC off
+        squelch_thresh=jnp.zeros(2, jnp.float32))
+    state = rx.init_state(params)
+    from flydog_sdr_gps_tpu.numerology import ADC_CLOCK_NOM
+    n = params.ddc.adc_block
+    t = np.arange(n) / ADC_CLOCK_NOM
+    # NBFM carrier with a 3 kHz (high) tone
+    dev = 3000.0
+    mod = np.sin(2 * np.pi * 3000.0 * t)
+    phase = 2 * np.pi * 7.1e6 * t + dev / 3000.0 * (-np.cos(2 * np.pi * 3000.0 * t))
+    x = (0.4 * np.cos(phase)).astype(np.float32)
+    step = jax.jit(lambda s, tn, xx: rx.rx_block(params, s, tn, xx))
+    for _ in range(6):
+        state, taps = step(state, tuning, jnp.asarray(x))
+    a = np.asarray(taps.audio)
+    # compare the 3 kHz tone magnitude between the two channels: the
+    # one-pole 75us filter attenuates 3 kHz to ~0.64
+    w0 = np.abs(np.fft.rfft(a[:, 0] * np.hanning(len(a))))
+    w1 = np.abs(np.fft.rfft(a[:, 1] * np.hanning(len(a))))
+    b3k = int(round(3000.0 * len(a) / 12000.0))
+    tone_de = w0[b3k - 1:b3k + 2].max()
+    tone_raw = w1[b3k - 1:b3k + 2].max()
+    assert tone_de < 0.8 * tone_raw, (tone_de, tone_raw)
+    assert tone_de > 0.4 * tone_raw, (tone_de, tone_raw)
+
+    # overload mute: drop the threshold below the carrier level
+    tuning2 = dataclasses.replace(
+        tuning, mute_over_dbm=jnp.asarray([-60.0, 20.0], jnp.float32))
+    state, taps = step(state, tuning2, jnp.asarray(x))
+    a = np.asarray(taps.audio)
+    assert np.all(a[:, 0] == 0.0)
+    assert np.any(a[:, 1] != 0.0)
