@@ -234,6 +234,25 @@ class Connection:
         self.snd_seq += 1
         await self.snd_ws.send_bytes(pkt)
 
+    async def emit_wf_audio(self, audio_ch: np.ndarray) -> None:
+        """Audio-FFT fallback rows (wf_chans=0 firmware, the
+        reference's "isFFT" mode): 1024-pt spectrum of this channel's
+        demodulated audio, same wire format as real WF rows."""
+        if self.wf_ws is None or self.wf_ws.closed:
+            return
+        acc = getattr(self, "_aw_acc", np.zeros(0, np.float32))
+        acc = np.concatenate([acc, audio_ch.astype(np.float32)])
+        if len(acc) < 2048:
+            self._aw_acc = acc
+            return
+        seg, self._aw_acc = acc[:2048], acc[2048:]
+        w = np.abs(np.fft.rfft(seg * np.hanning(2048)))[:1024]
+        db = 20.0 * np.log10(np.maximum(w / 1024.0, 1e-12))
+        row = np.clip(np.round(255.0 + db), 0, 255).astype(np.uint8)
+        pkt = packets.wf_packet(0, 0, self.wf_seq, row.tobytes())
+        self.wf_seq += 1
+        await self.wf_ws.send_bytes(pkt)
+
     async def emit_wf(self, x_dev) -> None:
         """Ingest the raw block into this connection's WF chain and
         send a row when the frame pacing allows."""
@@ -286,7 +305,7 @@ class KiwiServer:
 
     def __init__(self, engine, cfg=None, port: int = 8073,
                  ui_srate: float = 30.0e6, wf_fps: int = 23,
-                 realtime: bool = False):
+                 realtime: bool = False, wf_enabled: bool = True):
         if web is None:
             raise RuntimeError("aiohttp not available")
         self.engine = engine
@@ -294,6 +313,10 @@ class KiwiServer:
         self.port = port
         self.ui_srate = ui_srate
         self.wf_fps = wf_fps
+        # rx14.wf0-style config: no wideband WF channels; clients get
+        # an audio-bandwidth FFT instead ("isFFT" fallback,
+        # `rx/rx_waterfall.cpp` audio-FFT mode)
+        self.wf_enabled = wf_enabled
         self.wf_cal = -13.0
         self.realtime = realtime
         self.conns: dict[str, Connection] = {}
@@ -597,11 +620,15 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                             audio_np, iq_np,
                             float(smeter[conn.rx_chan]),
                             adc_ovfl=adc_ovfl)
-                    if conn.authed and conn.wf_ws is not None and \
-                            conn.wf_params is not None:
-                        if x_dev is None:
-                            x_dev = self.engine._last_x
-                        await conn.emit_wf(x_dev)
+                    if conn.authed and conn.wf_ws is not None:
+                        if not self.wf_enabled:
+                            if conn.rx_chan is not None:
+                                await conn.emit_wf_audio(
+                                    audio_np[:, conn.rx_chan])
+                        elif conn.wf_params is not None:
+                            if x_dev is None:
+                                x_dev = self.engine._last_x
+                            await conn.emit_wf(x_dev)
                     if conn.ext is not None:
                         msgs = await loop.run_in_executor(
                             None, conn.ext.process_block, taps)

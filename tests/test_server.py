@@ -231,3 +231,47 @@ async def webui_scenario():
 def test_webui_protocol():
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
         webui_scenario())
+
+
+async def wf_audio_fallback_scenario():
+    """wf_enabled=False (rx14.wf0 analogue): W/F stream serves
+    audio-FFT rows instead of wideband waterfall."""
+    params = rx.RxParams(num_channels=2, audio_block=128)
+    src = SyntheticSource(tones=((14.201e6, 0.5),), noise_rms=0.001)
+    eng = StreamEngine(params, src)
+    server = KiwiServer(eng, port=PORT + 1, realtime=False,
+                        wf_enabled=False)
+    runner = await server.start()
+    try:
+        async with aiohttp.ClientSession() as session:
+            snd = await session.ws_connect(
+                f"http://127.0.0.1:{PORT + 1}/777/SND")
+            await snd.send_str("SET auth t=kiwi p=")
+            await snd.send_str(
+                "SET mod=usb low_cut=300 high_cut=2700 freq=14200.2")
+            wf = await session.ws_connect(
+                f"http://127.0.0.1:{PORT + 1}/777/W/F")
+            await wf.send_str("SET auth t=kiwi p=")
+            rows = []
+            for _ in range(200):
+                m = await asyncio.wait_for(wf.receive(), timeout=60)
+                if m.type != aiohttp.WSMsgType.BINARY:
+                    continue
+                if m.data[:4] == b"W/F ":
+                    rows.append(np.frombuffer(m.data[16:16 + 1024],
+                                              np.uint8))
+                    if len(rows) >= 3:
+                        break
+            assert len(rows) >= 3
+            row = rows[-1].astype(float)
+            # 800 Hz demod tone -> bin ~ 800/(6000/1024) = 137
+            pk = int(np.argmax(row))
+            assert abs(pk - 137) < 10, pk
+    finally:
+        await server.stop()
+        await runner.cleanup()
+
+
+def test_wf_audio_fallback():
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
+        wf_audio_fallback_scenario())
