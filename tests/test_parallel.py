@@ -72,3 +72,30 @@ def test_graft_entry_single():
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_distributed_glue_single_process():
+    """Multi-host helpers collapse correctly to single-process use and
+    compose with the sharded receiver on the virtual mesh."""
+    import jax
+    from flydog_sdr_gps_tpu.parallel import distributed as dist
+    assert dist.init_distributed() == 1
+    mesh = dist.make_global_mesh(time=2, chan=4)
+    assert mesh.shape["time"] == 2 and mesh.shape["chan"] == 4
+
+    from flydog_sdr_gps_tpu.models import rx_channel as rx
+    from flydog_sdr_gps_tpu.parallel import sharded_rx
+    params = rx.RxParams(num_channels=8, audio_block=128)
+    step = sharded_rx.make_sharded_rx_step(params, mesh)
+    state = sharded_rx.shard_rx_state(rx.init_state(params), mesh,
+                                      params)
+    tuning = sharded_rx.shard_rx_tuning(rx.default_tuning(params), mesh)
+    x = dist.host_shard_block(
+        mesh, np.zeros(params.ddc.adc_block, np.float32))
+    holder = {"s": state}          # the step donates its state arg
+
+    def fn(t, xx):
+        holder["s"], taps = step(holder["s"], t, xx)
+        return taps.audio
+    rep = dist.scaling_report(mesh, fn, (tuning, x), iters=2)
+    assert rep["devices"] == 8 and rep["step_seconds"] > 0
