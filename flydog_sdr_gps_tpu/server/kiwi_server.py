@@ -329,6 +329,7 @@ class KiwiServer:
         self.app = web.Application()
         self.app.router.add_get("/", self.http_root)
         self.app.router.add_get("/about", self.http_about)
+        self.app.router.add_get("/admin", self.http_admin)
         self.app.router.add_get("/status", self.http_status)
         self.app.router.add_get("/users", self.http_users)
         self.app.router.add_get("/snr", self.http_snr)
@@ -462,6 +463,13 @@ class KiwiServer:
                               self.engine.params.snd_rate),
             content_type="text/html")
 
+    async def http_admin(self, request):
+        """Admin UI page (`web/kiwi/admin*.js` analogue) over the
+        ADMIN websocket."""
+        from . import webui
+        return web.Response(text=webui.ADMIN_PAGE,
+                            content_type="text/html")
+
     async def http_about(self, request):
         """Plain-text summary page."""
         eng = self.engine
@@ -522,6 +530,7 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         ws = web.WebSocketResponse()
         await ws.prepare(request)
         from ..utils.log import get_log
+        authed = False
         async for m in ws:
             if m.type not in (WSMsgType.TEXT, WSMsgType.BINARY):
                 break
@@ -530,7 +539,11 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             p = packets.parse_set(text)
             cmd = p.get("_cmd")
             if cmd == "auth":
-                await ws.send_bytes(packets.msg(badp=0))
+                authed = self.check_password("admin", p.get("p", ""))
+                await ws.send_bytes(packets.msg(badp=0 if authed else 1))
+            elif not authed:
+                # admin ops require a successful auth first
+                await ws.send_bytes(packets.msg(badp=1))
             elif cmd == "get_config":
                 body = json.dumps(self.cfg.doc if self.cfg else {})
                 await ws.send_bytes(b"CFG " + body.encode())

@@ -254,3 +254,94 @@ def render(name: str, ui_srate: float, audio_rate: int) -> str:
     return (PAGE.replace("__NAME__", name)
             .replace("__UI_SRATE__", str(float(ui_srate)))
             .replace("__AUDIO_RATE__", str(int(audio_rate))))
+
+
+ADMIN_PAGE = r"""<!doctype html>
+<html><head><meta charset="utf-8"><title>admin</title>
+<style>
+ body { font-family: system-ui, sans-serif; background:#111; color:#ddd;
+        margin:0; padding:16px; }
+ input, button, textarea { background:#222; color:#ddd;
+        border:1px solid #555; border-radius:4px; padding:4px 8px; }
+ textarea { width:90%; height:280px; font-family:monospace;
+        font-size:12px; }
+ pre { background:#000; padding:8px; max-height:300px; overflow:auto;
+        font-size:12px; }
+ .tab { margin-right:6px; } .tab.on { background:#2a6; color:#fff; }
+ section { display:none; margin-top:12px; } section.on { display:block; }
+</style></head><body>
+<h2>admin — flydog_sdr_gps_tpu</h2>
+<div id="login">password <input id="pw" type="password">
+ <button id="go">connect</button> <span id="lmsg"></span></div>
+<div id="main" style="display:none">
+ <button class="tab on" data-t="status">status</button>
+ <button class="tab" data-t="config">config</button>
+ <button class="tab" data-t="log">log</button>
+ <section id="status" class="on"><pre id="stats"></pre>
+   <button id="refresh">refresh</button></section>
+ <section id="config"><textarea id="cfg"></textarea><br>
+   key <input id="ckey"> value <input id="cval">
+   <button id="cset">set</button> <button id="csave">save</button>
+   <span id="cmsg"></span></section>
+ <section id="log"><pre id="logbox"></pre>
+   <button id="logref">refresh</button></section>
+</div>
+<script>
+"use strict";
+let ws = null;
+function send(s) { if (ws && ws.readyState === 1) ws.send("SET " + s); }
+document.getElementById("go").onclick = () => {
+  ws = new WebSocket("ws://" + location.host + "/admin_" +
+                     Math.floor(Date.now()/1000) + "/ADMIN");
+  ws.binaryType = "arraybuffer";
+  ws.onopen = () => send("auth p=" +
+      encodeURIComponent(document.getElementById("pw").value));
+  ws.onmessage = (e) => {
+    const s = typeof e.data === "string" ? e.data :
+        new TextDecoder().decode(e.data);
+    if (s.startsWith("MSG ")) {
+      const kv = {};
+      s.slice(4).split(" ").forEach((t) => {
+        const i = t.indexOf("="); if (i > 0) kv[t.slice(0,i)] = t.slice(i+1);
+      });
+      if ("badp" in kv) {
+        if (kv.badp === "0") {
+          document.getElementById("login").style.display = "none";
+          document.getElementById("main").style.display = "block";
+          send("stats"); send("get_config"); send("log n=100");
+        } else {
+          document.getElementById("lmsg").textContent = "wrong password";
+        }
+      }
+      if ("blocks" in kv)
+        document.getElementById("stats").textContent =
+            JSON.stringify(kv, null, 1);
+      if ("cfg_seq" in kv || "saved" in kv) {
+        document.getElementById("cmsg").textContent =
+            "saved" in kv ? "saved" : "seq " + kv.cfg_seq;
+        send("get_config");
+      }
+    } else if (s.startsWith("CFG ")) {
+      document.getElementById("cfg").value =
+          JSON.stringify(JSON.parse(s.slice(4)), null, 1);
+    } else if (s.startsWith("LOG ")) {
+      document.getElementById("logbox").textContent = s.slice(4);
+    }
+  };
+};
+document.querySelectorAll(".tab").forEach((b) => {
+  b.onclick = () => {
+    document.querySelectorAll(".tab").forEach(
+        (x) => x.classList.toggle("on", x === b));
+    document.querySelectorAll("section").forEach(
+        (x) => x.classList.toggle("on", x.id === b.dataset.t));
+  };
+});
+document.getElementById("refresh").onclick = () => send("stats");
+document.getElementById("logref").onclick = () => send("log n=100");
+document.getElementById("cset").onclick = () => send(
+    "set_config key=" + document.getElementById("ckey").value +
+    " value=" + document.getElementById("cval").value);
+document.getElementById("csave").onclick = () => send("save_config");
+</script></body></html>
+"""

@@ -90,3 +90,34 @@ async def scenario():
 
 def test_admin_mon_blacklist_snr():
     asyncio.run(scenario())
+
+
+def test_admin_page_and_auth_gate():
+    async def run():
+        import aiohttp
+        from test_server import make_server, PORT
+        server = make_server()
+        runner = await server.start()
+        try:
+            async with aiohttp.ClientSession() as session:
+                async with session.get(
+                        f"http://127.0.0.1:{PORT}/admin") as r:
+                    page = await r.text()
+                assert "ADMIN" in page and "get_config" in page
+                # commands BEFORE auth are refused
+                ws = await session.ws_connect(
+                    f"http://127.0.0.1:{PORT}/99/ADMIN")
+                await ws.send_str("SET stats")
+                m = await asyncio.wait_for(ws.receive(), timeout=10)
+                assert b"badp=1" in m.data
+                await ws.send_str("SET auth p=")
+                m = await asyncio.wait_for(ws.receive(), timeout=10)
+                assert b"badp=0" in m.data
+                await ws.send_str("SET stats")
+                m = await asyncio.wait_for(ws.receive(), timeout=10)
+                assert b"blocks=" in m.data
+        finally:
+            await server.stop()
+            await runner.cleanup()
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
+        run())
