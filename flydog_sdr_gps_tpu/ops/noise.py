@@ -77,6 +77,8 @@ class SpectralNRParams:
     floor_bias: float = 2.2        # min-of-smoothed-psd -> mean bias
     over_subtract: float = 1.4
     gain_floor: float = 0.1
+    gain_rule: str = "subtract"    # "subtract" | "mmse" (wdsp EMNR's
+    dd_alpha: float = 0.96         #  MMSE-LSA w/ decision-directed SNR)
 
 
 @jax.tree_util.register_dataclass
@@ -86,6 +88,7 @@ class SpectralNRState:
     out_tail: jax.Array           # (hop, C) overlap-add carry
     psd_smooth: jax.Array         # (fft/2+1, C) EMA-smoothed psd
     min_ring: jax.Array           # (min_window, fft/2+1, C) block minima
+    xhat2: jax.Array              # (fft/2+1, C) prev clean-psd (MMSE)
 
 
 def init_spectral_nr(params: SpectralNRParams, num_channels: int,
@@ -97,7 +100,22 @@ def init_spectral_nr(params: SpectralNRParams, num_channels: int,
         psd_smooth=jnp.full((hb, num_channels), 1e3, jnp.float32),
         min_ring=jnp.full((params.min_window, hb, num_channels), 1e3,
                           jnp.float32),
+        xhat2=jnp.zeros((hb, num_channels), jnp.float32),
     )
+
+
+def _expint_e1(v: jax.Array) -> jax.Array:
+    """Exponential integral E1(v), Abramowitz-Stegun 5.1.53/5.1.56."""
+    small = (-jnp.log(jnp.maximum(v, 1e-12)) - 0.57721566
+             + v * (0.99999193
+                    + v * (-0.24991055
+                           + v * (0.05519968
+                                  + v * (-0.00976004
+                                         + v * 0.00107857)))))
+    num = v * (v + 2.334733) + 0.250621
+    den = v * (v + 3.330657) + 1.681534
+    big = jnp.exp(-v) / jnp.maximum(v, 1e-12) * num / den
+    return jnp.where(v <= 1.0, small, big)
 
 
 def spectral_nr_block(params: SpectralNRParams, x: jax.Array,
@@ -134,11 +152,34 @@ def spectral_nr_block(params: SpectralNRParams, x: jax.Array,
     min_ring = jnp.concatenate([state.min_ring[1:], block_min[None]],
                                axis=0)
     est_noise = params.floor_bias * jnp.min(min_ring, axis=0)
-    gain = jnp.maximum(
-        1.0 - params.over_subtract * est_noise[None] /
-        jnp.maximum(sm_seq, 1e-12),
-        params.gain_floor ** 2)
-    g = jnp.sqrt(gain)
+    if params.gain_rule == "mmse":
+        # Ephraim-Malah MMSE-LSA with decision-directed a-priori SNR
+        # (the wdsp EMNR gain rule, `rx/wdsp/ANR.cpp` family)
+        lam = jnp.maximum(est_noise[None], 1e-12)
+        gamma = jnp.maximum(psd / lam, 1e-6)         # a-posteriori SNR
+        a = jnp.float32(params.dd_alpha)
+
+        def gain_frame(prev_xhat2, fr):
+            gam, lam_f = fr
+            xi = (a * prev_xhat2 / lam_f[0]
+                  + (1 - a) * jnp.maximum(gam - 1.0, 0.0))
+            xi = jnp.maximum(xi, 1e-6)
+            v = jnp.clip(gam * xi / (1.0 + xi), 1e-6, 50.0)
+            G = xi / (1.0 + xi) * jnp.exp(0.5 * _expint_e1(v))
+            G = jnp.clip(G, params.gain_floor, 1.0)
+            xhat2 = (G ** 2) * gam * lam_f[0]
+            return xhat2, G
+        xhat2, g = lax.scan(
+            gain_frame, state.xhat2,
+            (gamma, jnp.broadcast_to(lam, (nfr,) + lam.shape[1:])[:,
+                                     None]))
+    else:
+        gain = jnp.maximum(
+            1.0 - params.over_subtract * est_noise[None] /
+            jnp.maximum(sm_seq, 1e-12),
+            params.gain_floor ** 2)
+        g = jnp.sqrt(gain)
+        xhat2 = state.xhat2
     shaped = Cplx(spec.re * g, spec.im * g)                 # (nfr, hb, C)
     # rebuild the full (conjugate-symmetric) spectrum and inverse-FFT
     mid = shaped[:, 1:fft // 2]
@@ -158,6 +199,7 @@ def spectral_nr_block(params: SpectralNRParams, x: jax.Array,
         out_tail=y[n:],
         psd_smooth=psd_smooth,
         min_ring=min_ring,
+        xhat2=xhat2,
     )
     return out.astype(x.dtype), new_state
 

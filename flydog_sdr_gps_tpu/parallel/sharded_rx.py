@@ -69,7 +69,8 @@ def _state_specs(params: rx.RxParams) -> rx.RxState:
         nb_mavg=P(cc),
         nr=noise_ops.SpectralNRState(
             in_tail=P(None, cc), out_tail=P(None, cc),
-            psd_smooth=P(None, cc), min_ring=P(None, None, cc)),
+            psd_smooth=P(None, cc), min_ring=P(None, None, cc),
+            xhat2=P(None, cc)),
         smeter=P(cc),
         deemph=P(cc),
     )

@@ -389,3 +389,42 @@ def test_deemphasis_and_overload_mute():
     a = np.asarray(taps.audio)
     assert np.all(a[:, 0] == 0.0)
     assert np.any(a[:, 1] != 0.0)
+
+
+def test_spectral_nr_mmse_rule_beats_subtraction():
+    """EMNR-style MMSE-LSA gain (decision-directed a-priori SNR)
+    outperforms plain spectral subtraction on the bursty probe
+    (`rx/wdsp` EMNR role)."""
+    rng = np.random.default_rng(6)
+    n = 16384
+    t = np.arange(n) / FS
+    burst = ((t * FS) // 2048 % 2 == 0)
+    sig = (np.sin(2 * np.pi * 800 * t) * burst).astype(np.float32)
+    nse = 0.3 * rng.standard_normal(n).astype(np.float32)
+    x = (sig + nse)[:, None]
+
+    def run(rule):
+        p = noise.SpectralNRParams(gain_rule=rule)
+        st = noise.init_spectral_nr(p, 1)
+        outs = []
+        for i in range(n // 512):
+            y, st = noise.spectral_nr_block(
+                p, jnp.asarray(x[i * 512:(i + 1) * 512]), st)
+            outs.append(np.asarray(y[:, 0]))
+        return np.concatenate(outs), p
+
+    def snr(sigl):
+        spec = np.abs(np.fft.rfft(sigl * np.hanning(len(sigl)))) ** 2
+        f = np.fft.rfftfreq(len(sigl), 1 / FS)
+        sb = (f > 700) & (f < 900)
+        return 10 * np.log10(spec[sb].sum() / spec[~sb].sum())
+
+    y_sub, p = run("subtract")
+    y_mmse, _ = run("mmse")
+    d = p.hop
+    sl = slice(n // 2, n - d)
+    s_in = snr((sig + nse)[sl])
+    s_sub = snr(y_sub[d:][sl])
+    s_mmse = snr(y_mmse[d:][sl])
+    assert s_mmse > s_in + 8.0, (s_in, s_mmse)
+    assert s_mmse > s_sub + 2.0, (s_sub, s_mmse)
