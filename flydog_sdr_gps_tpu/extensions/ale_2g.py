@@ -198,6 +198,9 @@ class AleDecoder:
         if len(self._pows) > 4 * 49 * 2:
             drop = len(self._pows) - 4 * 49 * 2
             del self._pows[:drop]
+        # prune dedupe keys older than the retained window
+        horizon = self._nhalf - 8 * 49
+        self._emitted = {e for e in self._emitted if e >= horizon}
         return out
 
     def _try_sync(self) -> list[tuple[str, str, int]]:

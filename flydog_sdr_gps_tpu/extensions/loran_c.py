@@ -128,6 +128,8 @@ class LoranCExt(Extension):
             _Chain(self.fs, int(params.get("gri1", 8000))),
         ]
         self._since_push = 0
+        self._search_pending = False
+        self._env_hist = np.zeros(0, np.float64)
 
     def command(self, cmd: dict) -> list:
         for k, v in cmd.items():
@@ -141,7 +143,7 @@ class LoranCExt(Extension):
                 ch.navgs = 0
                 ch.avg[:] = 0
             elif k == "search":
-                pass    # answered after next block
+                self._search_pending = True
         return []
 
     def process_block(self, taps) -> list:
@@ -152,6 +154,15 @@ class LoranCExt(Extension):
         self.samp += len(env)
         self._since_push += len(env)
         out = []
+        if self._search_pending:
+            # accumulate ~4 s of envelope, then fold at every known GRI
+            self._env_hist = np.concatenate([self._env_hist, env])
+            if len(self._env_hist) >= 4 * self.fs:
+                gri, score = search_gri(self._env_hist, self.fs)
+                out.append(("gri_found",
+                            f"{gri} {score:.2f}".encode()))
+                self._search_pending = False
+                self._env_hist = np.zeros(0, np.float64)
         if self._since_push >= self.fs * 0.25:      # ~4 scope rows/s
             self._since_push = 0
             for i, ch in enumerate(self.chains):

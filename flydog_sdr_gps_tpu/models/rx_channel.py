@@ -43,7 +43,6 @@ from ..ops import demod as demod_ops
 from ..ops import fastfir
 from ..ops import iir
 from ..ops import noise as noise_ops
-from ..ops import iir as iir_ops
 from ..ops import smeter as smeter_ops
 from ..ops import nco
 
@@ -229,8 +228,13 @@ def rx_block(params: RxParams, state: RxState, tuning: RxTuning,
     # window (CuteSDR CNoiseProc), NB_WILD bridges it by interpolation
     # (Teensy NB_Wild) — `rx/rx_sound.cpp:910-920` dispatch
     nb_std, nb_mavg = noise_ops.noise_blanker(iq, state.nb_mavg)
-    nb_wld, _ = noise_ops.noise_blanker_wild(iq, state.nb_mavg)
-    nb_iq = cplx_ops.where(tuning.nb_wild[None, :], nb_wld, nb_std)
+    any_wild = jnp.any(tuning.nb_wild & tuning.nb_on)
+    nb_iq = jax.lax.cond(
+        any_wild,
+        lambda: cplx_ops.where(
+            tuning.nb_wild[None, :],
+            noise_ops.noise_blanker_wild(iq, state.nb_mavg)[0], nb_std),
+        lambda: nb_std)
     iq_nb = cplx_ops.where(tuning.nb_on[None, :], nb_iq, iq)
 
     # --- passband filter (batched FFT) ---
@@ -273,7 +277,7 @@ def rx_block(params: RxParams, state: RxState, tuning: RxTuning,
 
     # --- de-emphasis: one-pole 75 us LPF (`rx_sound.cpp:898-908`) ---
     alpha = jnp.float32(1.0 - np.exp(-1.0 / (params.fs_out * 75e-6)))
-    de_audio = iir_ops.one_pole_smoother(audio, alpha, state.deemph)
+    de_audio = iir.one_pole_smoother(audio, alpha, state.deemph)
     audio = jnp.where(tuning.deemph_on[None, :], de_audio, audio)
     deemph_state = jnp.where(tuning.deemph_on, de_audio[-1],
                              state.deemph)

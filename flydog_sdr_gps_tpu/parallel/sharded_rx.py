@@ -213,8 +213,13 @@ def _back_half(params: rx.RxParams, state: rx.RxState,
     """The audio-rate chain on the local channel group (pure, local)."""
     d = demod_ops
     nb_std, nb_mavg = noise_ops.noise_blanker(iq, state.nb_mavg)
-    nb_wld, _ = noise_ops.noise_blanker_wild(iq, state.nb_mavg)
-    nb_iq = cplx_ops.where(tuning.nb_wild[None, :], nb_wld, nb_std)
+    any_wild = jnp.any(tuning.nb_wild & tuning.nb_on)
+    nb_iq = jax.lax.cond(
+        any_wild,
+        lambda: cplx_ops.where(
+            tuning.nb_wild[None, :],
+            noise_ops.noise_blanker_wild(iq, state.nb_mavg)[0], nb_std),
+        lambda: nb_std)
     iq_nb = cplx_ops.where(tuning.nb_on[None, :], nb_iq, iq)
     z, fir_tail = fastfir.fastfir_block(params.fir, iq_nb, state.fir_tail,
                                         tuning.pb_coef)

@@ -143,7 +143,7 @@ if _dp is not None:
         """SND_SEQ_CHECK analogue (`rx/data_pump.cpp:56-143`)."""
 
         def __init__(self):
-            self._st = np.zeros(2, np.int64)
+            self._st = np.array([-1, 0], np.int64)
 
         def check(self, seq: int) -> int:
             return int(_dp.dp_seq_check(
@@ -157,7 +157,8 @@ if _dp is not None:
     class NativeRing:
         """SPSC float32-block ring (the `rx_dpump_t` N_DPBUF ring,
         `rx/data_pump.h:36-57`): ingest thread pushes, the dispatch
-        loop pops.  Overruns drop the oldest block, mirroring the
+        loop pops.  A push into a full ring drops the NEW block (and
+        counts it); consumers chase freshness by draining, like the
         data-pump latency reset."""
 
         def __init__(self, block: int, nblocks: int = 32):

@@ -79,12 +79,13 @@ void dp_f32_to_s16be(const float *in, uint8_t *out, int64_t n,
     }
 }
 
-/* sequence check: state[0]=expected seq, state[1]=total gaps.
- * Returns gap size for this packet (0 if in order). */
+/* sequence check: state[0]=expected seq (-1 = uninitialized),
+ * state[1]=total gaps.  The first packet initializes the expectation
+ * (joining mid-stream is not a loss).  Returns this packet's gap. */
 int64_t dp_seq_check(int64_t *state, int64_t seq)
 {
     int64_t gap = 0;
-    if (state[0] != 0 || state[1] != 0 || seq != 0) {
+    if (state[0] != -1) {
         gap = seq - state[0];
         if (gap < 0) gap = 0;           /* restart */
         state[1] += gap;
@@ -136,23 +137,25 @@ int64_t dp_ring_overruns(const dp_ring *r)
     return atomic_load(&((dp_ring *)r)->overruns);
 }
 
-/* producer: push one block; drops the OLDEST block when full (the
- * reference resets to the freshest data on overrun,
- * data_pump.cpp:245-269).  Returns 1 if an old block was dropped. */
+/* producer: push one block.  When full the NEW block is dropped and
+ * counted — the producer never touches tail, preserving the SPSC
+ * invariant (a drop-oldest push would race the consumer's in-flight
+ * memcpy of that slot).  A consumer wanting only the freshest data
+ * drains with repeated pops (the reference's latency reset,
+ * data_pump.cpp:245-269, skips to the freshest buffer the same way).
+ * Returns 1 if the block was dropped. */
 int dp_ring_push(dp_ring *r, const float *src)
 {
-    int dropped = 0;
     int64_t head = atomic_load_explicit(&r->head, memory_order_relaxed);
     int64_t tail = atomic_load_explicit(&r->tail, memory_order_acquire);
     if (head - tail >= r->nblocks) {
-        atomic_fetch_add(&r->tail, 1);  /* discard oldest */
         atomic_fetch_add(&r->overruns, 1);
-        dropped = 1;
+        return 1;
     }
     memcpy(r->buf + (head & (r->nblocks - 1)) * r->block, src,
            sizeof(float) * (size_t)r->block);
     atomic_store_explicit(&r->head, head + 1, memory_order_release);
-    return dropped;
+    return 0;
 }
 
 /* consumer: pop one block into dst; returns 0 if empty */

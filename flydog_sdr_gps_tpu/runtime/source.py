@@ -216,13 +216,14 @@ class ThreadedSource(SampleSource):
         self.inner = inner
         self.block = block
         self.ring = native.NativeRing(block, nblocks)
+        self._target_fill = max(nblocks * 3 // 4, 1)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self) -> None:
         while not self._stop.is_set():
-            if self.ring.fill >= 24:        # keep latency bounded
+            if self.ring.fill >= self._target_fill:
                 self._stop.wait(0.002)
                 continue
             self.ring.push(self.inner.next_block(self.block))

@@ -540,6 +540,13 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             cmd = p.get("_cmd")
             if cmd == "auth":
                 authed = self.check_password("admin", p.get("p", ""))
+                # no admin password configured: local clients only
+                # (reference: local-net exemption, rx/rx_cmd.cpp auth)
+                pw_set = (self.cfg is not None
+                          and self.cfg.string("admin_password", "") != "")
+                if authed and not pw_set:
+                    peer = request.remote or ""
+                    authed = peer in ("127.0.0.1", "::1", "localhost")
                 await ws.send_bytes(packets.msg(badp=0 if authed else 1))
             elif not authed:
                 # admin ops require a successful auth first
@@ -623,7 +630,7 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             adc_ovfl = bool(got[2] >= 0.99)
             if adc_ovfl:
                 self.adc_ov_count += 1
-            iq_np = (got[4], got[5]) if need_iq else None
+            iq_np = (got[3], got[4]) if need_iq else None
             x_dev = None
             for conn in list(self.conns.values()):
                 try:

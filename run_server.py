@@ -12,7 +12,8 @@ p = argparse.ArgumentParser()
 p.add_argument("--port", type=int, default=8073)
 p.add_argument("--cpu", action="store_true")
 p.add_argument("--channels", type=int, default=4)
-p.add_argument("--realtime", action="store_true", default=True)
+p.add_argument("--no-realtime", dest="realtime",
+               action="store_false", default=True)
 args = p.parse_args()
 
 if args.cpu:

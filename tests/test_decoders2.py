@@ -513,3 +513,18 @@ def test_drm_via_extension_iq_tap():
                       smeter_dbm=jnp.asarray([-50.0], jnp.float32))
         tags.extend(t for t, _ in e.process_block(taps))
     assert "drm_fac" in tags and "drm_sdc" in tags and "drm_msc" in tags
+
+
+def test_loran_c_search_command():
+    from flydog_sdr_gps_tpu.extensions import loran_c as lc  # noqa: F401
+    gri = 8000
+    audio = loran_audio(gri, 5.0)
+    e = ext.ext_create("Loran_C", FakeEngine(), 0)
+    e.start(gri0=6731, gri1=5030)
+    e.command({"search": True})
+    found = []
+    for i in range(0, len(audio) - 511, 512):
+        for tag, payload in e.process_block(make_taps(audio[i:i + 512])):
+            if tag == "gri_found":
+                found.append(payload.decode())
+    assert found and found[0].split()[0] == str(gri), found

@@ -121,7 +121,7 @@ def test_native_ring_and_threaded_source():
     for i in range(6):
         r.push(np.full(8, i, np.float32))
     assert r.overruns == 2 and r.fill == 4
-    assert r.pop()[0] == 2.0          # oldest two were dropped
+    assert r.pop()[0] == 0.0          # newest two were dropped
 
     src = source.ThreadedSource(
         source.SyntheticSource(tones=[(1e6, 0.5)]), block=4096)
