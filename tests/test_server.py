@@ -275,3 +275,50 @@ async def wf_audio_fallback_scenario():
 def test_wf_audio_fallback():
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
         wf_audio_fallback_scenario())
+
+
+async def iq_mode_scenario():
+    """IQ mode end-to-end: the SND packet grows the GPS-timestamp
+    header and carries interleaved s16 IQ (regression: the batched
+    fetch indices once broke only when need_iq was True)."""
+    server = make_server()
+    runner = await server.start()
+    try:
+        async with aiohttp.ClientSession() as session:
+            ws = await ws_connect(session, "SND")
+            await ws.send_str("SET auth t=kiwi p=")
+            await ws.send_str(
+                "SET mod=iq low_cut=-5000 high_cut=5000 freq=14200.00")
+            pkts = []
+            for _ in range(60):
+                m = await asyncio.wait_for(ws.receive(), timeout=30)
+                if m.type != aiohttp.WSMsgType.BINARY:
+                    continue
+                if m.data[:3] == b"SND":
+                    pkts.append(m.data)
+                    if len(pkts) >= 8:
+                        break
+            assert len(pkts) >= 8
+            flags = pkts[-1][3]
+            assert flags & packets.SND_FLAG_MODE_IQ
+            # IQ header: flags u8, seq u32, smeter u16, gps hdr 10 B
+            payload = pkts[-1][20:]
+            iq = np.frombuffer(payload, ">i2").astype(np.float64)
+            assert len(iq) % 2 == 0 and len(iq) > 0
+            zre, zim = iq[0::2], iq[1::2]
+            # the 14.201 MHz tone at a 14.200 MHz IQ center: a rotating
+            # phasor at ~1 kHz -> both rails carry energy
+            assert zre.std() > 50 and zim.std() > 50
+            z = zre + 1j * zim
+            w = np.abs(np.fft.fft(z * np.hanning(len(z))))
+            f = np.fft.fftfreq(len(z), 1 / 12000.0)
+            peak = f[np.argmax(w)]
+            assert abs(peak - 1000.0) < 60, peak
+    finally:
+        await server.stop()
+        await runner.cleanup()
+
+
+def test_iq_mode_snd_stream():
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
+        iq_mode_scenario())
