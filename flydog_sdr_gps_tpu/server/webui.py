@@ -49,9 +49,12 @@ PAGE = r"""<!doctype html>
            style="width:70px">
  <div id="smeter"><div id="smeter_fill"></div></div>
  <span id="smeter_db">-127 dBm</span>
+ ext <select id="ext"><option value="">off</option></select>
 </div>
 <canvas id="spec" width="1024" height="80"></canvas>
 <canvas id="wf" width="1024" height="360"></canvas>
+<pre id="extout" style="display:none; background:#000; max-height:140px;
+ overflow:auto; font-size:12px; width:1008px; padding:8px"></pre>
 <div id="stat">connecting…</div>
 <script>
 "use strict";
@@ -61,6 +64,7 @@ const PB = { am:[-4900,4900], sam:[-4900,4900], usb:[300,2700],
              iq:[-5000,5000] };
 const UI_SRATE = __UI_SRATE__;
 const AUDIO_RATE = __AUDIO_RATE__;
+const EXTENSIONS = __EXTENSIONS__;
 const HZ_PER_START = UI_SRATE / (1024 * Math.pow(2, 14));
 let freq_khz = 7100.0, mode = "am", zoom = 0;
 let snd_ws = null, wf_ws = null, actx = null, playTime = 0;
@@ -114,6 +118,14 @@ function openSnd() {
   snd_ws.onmessage = (e) => {
     const u8 = new Uint8Array(e.data);
     const tag = String.fromCharCode(u8[0], u8[1], u8[2]);
+    if (tag === "EXT") {           // "EXT <tag> <payload>"
+      const s = new TextDecoder("utf-8", {fatal:false})
+          .decode(u8.subarray(4));
+      const box = document.getElementById("extout");
+      box.textContent = (box.textContent + s + "\n").slice(-4000);
+      box.scrollTop = box.scrollHeight;
+      return;
+    }
     if (tag !== "SND") return;     // MSG frames: ignore (params known)
     pkts++;
     const dv = new DataView(e.data);
@@ -234,6 +246,23 @@ MODES.forEach((m) => {
   };
   modesEl.appendChild(b);
 });
+const extSel = document.getElementById("ext");
+EXTENSIONS.forEach((n) => {
+  const o = document.createElement("option");
+  o.value = n; o.textContent = n;
+  extSel.appendChild(o);
+});
+extSel.onchange = () => {
+  const box = document.getElementById("extout");
+  if (extSel.value) {
+    setMsg(snd_ws, "ext_switch_to_client=" + extSel.value);
+    box.style.display = "block";
+    box.textContent = "";
+  } else {
+    setMsg(snd_ws, "ext_blur");
+    box.style.display = "none";
+  }
+};
 document.getElementById("audio_btn").onclick = () => {
   if (!actx) {
     actx = new (window.AudioContext || window.webkitAudioContext)(
@@ -251,9 +280,12 @@ openWf();
 
 
 def render(name: str, ui_srate: float, audio_rate: int) -> str:
+    import json as _json
+    from .. import extensions as _ext
     return (PAGE.replace("__NAME__", name)
             .replace("__UI_SRATE__", str(float(ui_srate)))
-            .replace("__AUDIO_RATE__", str(int(audio_rate))))
+            .replace("__AUDIO_RATE__", str(int(audio_rate)))
+            .replace("__EXTENSIONS__", _json.dumps(_ext.ext_list())))
 
 
 ADMIN_PAGE = r"""<!doctype html>

@@ -322,3 +322,41 @@ async def iq_mode_scenario():
 def test_iq_mode_snd_stream():
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
         iq_mode_scenario())
+
+
+async def ext_panel_scenario():
+    """UI extension panel path: switch an extension on over the SND
+    socket and receive EXT frames on it."""
+    server = make_server()
+    runner = await server.start()
+    try:
+        async with aiohttp.ClientSession() as session:
+            async with session.get(f"http://127.0.0.1:{PORT}/") as r:
+                page = await r.text()
+            assert '"S_meter"' in page      # ext list embedded in UI
+            ws = await ws_connect(session, "SND")
+            await ws.send_str("SET auth t=kiwi p=")
+            await ws.send_str(
+                "SET mod=usb low_cut=300 high_cut=2700 freq=14200.00")
+            await ws.send_str("SET ext_switch_to_client=S_meter")
+            got_ready, got_meter = False, False
+            for _ in range(80):
+                m = await asyncio.wait_for(ws.receive(), timeout=30)
+                if m.type != aiohttp.WSMsgType.BINARY:
+                    continue
+                if m.data.startswith(b"EXT ready"):
+                    got_ready = True
+                elif m.data.startswith(b"EXT smeter "):
+                    dbm = struct.unpack("<f", m.data[11:15])[0]
+                    assert -130.0 < dbm < 10.0
+                    got_meter = True
+                    break
+            assert got_ready and got_meter
+    finally:
+        await server.stop()
+        await runner.cleanup()
+
+
+def test_extension_panel_over_snd():
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
+        ext_panel_scenario())
