@@ -110,6 +110,9 @@ class Ephemeris:
     omega: float = 0.0
     omega_dot: float = 0.0
     idot: float = 0.0
+    # HOW of the most recently decoded subframe: GPS time (s of week)
+    # of the start of the NEXT subframe
+    tow_next: float = -1.0
     have: set = dataclasses.field(default_factory=set)
 
     def complete(self) -> bool:
@@ -179,6 +182,10 @@ def decode_subframe(words: list[int], eph: Ephemeris) -> int | None:
     sub = bits(2, 20, 3)
     if not 1 <= sub <= 5:
         return None
+    # HOW TOW count: time of start of the NEXT subframe in 6 s units
+    # (IS-GPS-200 20.3.3.2; `gps/ephemeris.cpp` Subframe uses it the
+    # same way to timestamp transmissions)
+    eph.tow_next = bits(2, 1, 17) * 6.0
     if sub == 1:
         eph.week = bits(3, 1, 10)
         eph.af2 = _sgn(bits(9, 1, 8), 8) * 2.0 ** -55
@@ -229,6 +236,12 @@ class SubframeAssembler:
         self.eph = Ephemeris(prn=prn)
         self.bits: list[int] = []
         self.subframes = 0
+        # global index (bits ever fed) of self.bits[0] — lets callers
+        # map a decoded subframe back to its transmit-time anchor
+        self.base = 0
+        # (subframe_id, global_start_bit, tow_next) per decode; the
+        # manager drains this to timestamp transmissions
+        self.events: list[tuple[int, int, float]] = []
 
     def feed(self, bits) -> list[int]:
         """Feed hard bits (+-1 or 0/1); returns subframe ids decoded."""
@@ -248,9 +261,12 @@ class SubframeAssembler:
                         if sub is not None:
                             self.subframes += 1
                             decoded.append(sub)
+                            self.events.append(
+                                (sub, self.base + off, self.eph.tow_next))
                         # keep the final 2 bits: they are the D29*/D30*
                         # the NEXT subframe's parity chain needs
                         del self.bits[:off + 298]
+                        self.base += off + 298
                         hit = True
                         break
                 if hit:
@@ -259,6 +275,7 @@ class SubframeAssembler:
                 # keep a window; drop old bits to bound memory
                 if len(self.bits) > 6000:
                     del self.bits[:3000]
+                    self.base += 3000
                 break
         return decoded
 
@@ -283,8 +300,12 @@ class SubframeAssembler:
         return words
 
 
-def encode_subframe(sub: int, eph: Ephemeris) -> list[int]:
-    """Inverse of :func:`decode_subframe` (test fixture generator)."""
+def encode_subframe(sub: int, eph: Ephemeris,
+                    tow_next: float | None = None) -> list[int]:
+    """Inverse of :func:`decode_subframe` (test fixture generator).
+
+    ``tow_next``: HOW time-of-week (s) of the start of the NEXT
+    subframe; defaults to ``eph.tow_next`` when set."""
     words = [0] * 10
 
     def put(w, lo, n, val):
@@ -293,6 +314,10 @@ def encode_subframe(sub: int, eph: Ephemeris) -> list[int]:
 
     put(1, 1, 8, TLM_PREAMBLE)
     put(2, 20, 3, sub)
+    if tow_next is None and eph.tow_next >= 0:
+        tow_next = eph.tow_next
+    if tow_next is not None:
+        put(2, 1, 17, int(round(tow_next / 6.0)))
     if sub == 1:
         put(3, 1, 10, eph.week)
         put(9, 1, 8, int(round(eph.af2 / 2.0 ** -55)))

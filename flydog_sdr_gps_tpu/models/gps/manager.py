@@ -4,7 +4,7 @@ Reference flow (`gps/gps.cpp:40`, SURVEY.md section 3.4): SearchTask
 round-robins satellites through FFT acquisition; hits hand off to one
 of 12 channel tasks that track and collect nav bits; SolveTask every
 2 s snapshots all channels, builds pseudoranges and solves position;
-`clock_correction()` turns (GPS time, 48-bit ticks) pairs into the
+`clock_correction()` turns (GPS time, tick count) pairs into the
 corrected ADC clock that retunes every DDC NCO
 (`rx/rx_sound.cpp:334-344`).
 
@@ -12,33 +12,80 @@ Here the same state machine runs host-side around the device kernels:
 acquisition and the tracking scan are jitted TPU programs; decisions
 (handoff, drop, solve cadence) are Python control flow at sub-Hz
 rates, exactly like the reference's ARM-side logic.
+
+TPU-specific design points:
+- the tracking bank has FIXED capacity (GPS_MAX_CHANS rows, like the
+  FPGA's fixed correlator count): acquiring/dropping a satellite
+  writes one row of the batched state — zero retraces.
+- transmit time is anchored the way the reference builds pseudoranges
+  (`gps/solve.cpp:60-167`): the HOW TOW of a decoded subframe dates
+  the subframe's first bit; an unwrapped code-chip counter carries
+  that date forward exactly (1 chip = 1/1.023 MHz of SV time), so
+  t_tx(now) = TOW_anchor + delta_chips / 1.023 MHz.
+- pseudoranges = c * (t_rx_common - t_tx_i); the common receive
+  instant is the last processed epoch boundary, measured in receiver
+  (nominal-rate) sample counts — the solver's clock-bias state absorbs
+  the offset, exactly like the reference's tick-derived t_rx.
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 
 import numpy as np
 import jax.numpy as jnp
 
-from ...numerology import GPS_MAX_CHANS
+from ...numerology import (ADC_CLOCK_NOM, CA_CHIP_RATE, GPS_FS,
+                           GPS_MAX_CHANS)
 from . import acquisition, cacode, clock, ephemeris, solver, tracking
+
+C_LIGHT = solver.C_LIGHT
+GALILEO_PRN_BASE = 210          # internal PRN numbering for E1B sats
 
 
 @dataclasses.dataclass
 class GpsChannel:
+    """Host-side per-satellite bookkeeping (the `gps/channel.cpp`
+    ChanTask state, minus what lives in the batched TrackState)."""
     prn: int
     state_idx: int                  # row in the batched TrackState
     acquired_snr: float = 0.0
-    ip_history: list = dataclasses.field(default_factory=list)
-    epochs: int = 0
+    epochs: int = 0                 # epochs tracked since start
+    chips: float = 0.0              # unwrapped code chips since start
+    last_cp: float | None = None    # previous epoch code-phase snapshot
+    # prompt-I epochs (and the unwrapped chips at each epoch start)
+    # waiting to be folded into 20 ms nav bits — bounded by bit
+    # consumption; before bit sync, capped at ~2.4 s
+    ip_pending: list = dataclasses.field(default_factory=list)
+    chip_pending: list = dataclasses.field(default_factory=list)
+    bit_offset: int | None = None   # epoch phase of the bit boundary
+    bits_total: int = 0             # bits consumed (global bit index)
+    # chips at the start of each consumed bit (ring of the last ~6100,
+    # enough to date any subframe the assembler can still decode)
+    bit_anchors: collections.deque = dataclasses.field(
+        default_factory=lambda: collections.deque(maxlen=6100))
+    anchor_base: int = 0            # global bit index of bit_anchors[0]
+    # transmit-time reference: (t_tx at anchor, chips at anchor)
+    tow_ref: tuple[float, float] | None = None
     asm: ephemeris.SubframeAssembler = None
-    bits_fed: int = 0
     lost_count: int = 0
 
     def __post_init__(self):
         if self.asm is None:
             self.asm = ephemeris.SubframeAssembler(prn=self.prn)
+
+    @property
+    def constellation(self) -> str:
+        return "galileo" if self.prn >= GALILEO_PRN_BASE else "gps"
+
+    def t_tx_now(self) -> float | None:
+        """SV transmit time (GPS s-of-week) of the sample at the
+        current tracking boundary, dated from the last subframe."""
+        if self.tow_ref is None:
+            return None
+        t0, chips0 = self.tow_ref
+        return t0 + (self.chips - chips0) / CA_CHIP_RATE
 
 
 class GpsManager:
@@ -51,29 +98,51 @@ class GpsManager:
                  min_snr: float = 30.0,   # peak/mean; noise plane
                                            # maxes out ~20 (ref min_sig
                                            # analogue, gps/search.cpp)
-                 on_clock=None):
+                 on_clock=None,
+                 adc_clock_nom: float = ADC_CLOCK_NOM):
         self.acq = acq_params or acquisition.AcqParams()
         self.tp = track_params or tracking.TrackParams()
         self.max_chans = max_chans
         self.prns = tuple(prns)
         self.min_snr = min_snr
         self.channels: dict[int, GpsChannel] = {}
-        self.clock = clock.ClockDiscipline()
+        # the clock discipline measures the IF sample rate against GPS
+        # time; the IF sampler is clocked from the same oscillator as
+        # the ADC (FPGA clocks `gps/sampler.v` from the ADC domain), so
+        # the fractional error transfers to the ADC clock directly
+        self.clock = clock.ClockDiscipline(nominal_hz=self.tp.fs)
+        self.adc_clock_nom = adc_clock_nom
         self.ekf = solver.EkfSolver()
         self.on_clock = on_clock        # callback(adc_clock_hz)
         self.last_fix = None
+        self.last_solutions: dict[str, dict] = {}
         self.fixes = 0
-        self._track_state = None
-        self._code_table = None
-        self.ticks = 0                  # IF sample counter
+        self._track_state, self._code_table = tracking.empty_track_state(
+            self.tp, max_chans)
+        # one compiled tracking program per (capacity, n_epochs) —
+        # acquire/drop only writes rows, so this never retraces
+        import jax
+        tp = self.tp
+        self._track_jit = jax.jit(
+            lambda s, tbl, raw: tracking.track_epochs(tp, s, tbl, raw))
+        self.ticks = 0                  # IF samples consumed (48-bit)
+        self.samples_tracked = 0        # IF samples through tracking
+        self._rem = np.zeros(0, np.float32)   # sub-epoch remainder
 
     # -- acquisition -----------------------------------------------------
     def cold_search(self, raw_if: np.ndarray) -> list[dict]:
         """Run the full-sky search on one 65536-sample IF capture and
-        start tracking the hits (`SearchTask` -> `ChanStart`)."""
+        start tracking the hits (`SearchTask` -> `ChanStart`).
+
+        ``raw_if[0]`` must be the next sample :meth:`track_block` will
+        see — the acquired code phase dates that instant.
+        """
         tracked = {c.prn for c in self.channels.values()}
+        todo = tuple(p for p in self.prns if p not in tracked)
+        if not todo or len(self.channels) >= self.max_chans:
+            return []
         cands = acquisition.acquire_all(
-            self.acq, raw_if[: self.acq.n_raw], prns=self.prns)
+            self.acq, raw_if[: self.acq.n_raw], prns=todo)
         started = []
         for cand in cands:
             if len(self.channels) >= self.max_chans:
@@ -84,76 +153,155 @@ class GpsManager:
             started.append(cand)
         return started
 
+    def _free_row(self) -> int | None:
+        used = {c.state_idx for c in self.channels.values()}
+        for i in range(self.max_chans):
+            if i not in used:
+                return i
+        return None
+
     def _start_channel(self, cand: dict) -> None:
-        prns = [c.prn for c in self.channels.values()] + [cand["prn"]]
-        phases = []
-        dops = []
-        for c in self.channels.values():
-            st = self._track_state
-            phases.append(float(st.code_phase[c.state_idx]))
-            dops.append(float(st.carr_freq[c.state_idx])
-                        / (2 * np.pi) * self.tp.fs - self.tp.fc)
-        phases.append(cand["code_phase"])
-        dops.append(cand["doppler"])
-        self._track_state, self._code_table = tracking.init_track_state(
-            self.tp, prns, phases, dops)
-        # rebuild channel map (state rows are re-packed)
-        newmap = {}
-        for i, prn in enumerate(prns):
-            old = next((c for c in self.channels.values()
-                        if c.prn == prn), None)
-            ch = old or GpsChannel(prn=prn, state_idx=i,
-                                   acquired_snr=cand["snr"])
-            ch.state_idx = i
-            newmap[prn] = ch
-        self.channels = newmap
+        idx = self._free_row()
+        if idx is None:
+            return
+        self._track_state, self._code_table = tracking.activate_channel(
+            self.tp, self._track_state, self._code_table, idx,
+            cand["prn"], cand["code_phase"], cand["doppler"])
+        self.channels[cand["prn"]] = GpsChannel(
+            prn=cand["prn"], state_idx=idx, acquired_snr=cand["snr"])
+
+    def _drop_channel(self, prn: int) -> None:
+        ch = self.channels.pop(prn, None)
+        if ch is not None:
+            self._track_state = tracking.deactivate_channel(
+                self._track_state, ch.state_idx)
 
     # -- tracking --------------------------------------------------------
     def track_block(self, raw_if: np.ndarray) -> None:
-        """Advance all channels over an IF block (multiple 1 ms epochs)."""
-        if not self.channels:
-            self.ticks += len(raw_if)
-            return
-        n_ep = len(raw_if) // self.tp.epoch
+        """Advance all channels over an IF block (multiple 1 ms epochs).
+
+        Sub-epoch remainders are buffered so no samples are skipped
+        (the tick counter must count exactly the samples tracked)."""
+        raw_if = np.asarray(raw_if, np.float32)
+        self.ticks = (self.ticks + len(raw_if)) % (1 << 48)
+        buf = (np.concatenate([self._rem, raw_if])
+               if len(self._rem) else raw_if)
+        n_ep = len(buf) // self.tp.epoch
+        used = n_ep * self.tp.epoch
+        self._rem = buf[used:]
         if n_ep == 0:
             return
-        raw_e = jnp.asarray(
-            raw_if[: n_ep * self.tp.epoch].astype(np.float32)
-            .reshape(n_ep, self.tp.epoch))
-        self._track_state, outs = tracking.track_epochs(
-            self.tp, self._track_state, self._code_table, raw_e)
+        self.samples_tracked += used
+        if not self.channels:
+            return
+        raw_e = jnp.asarray(buf[:used].reshape(n_ep, self.tp.epoch))
+        self._track_state, outs = self._track_jit(
+            self._track_state, self._code_table, raw_e)
         ip = np.asarray(outs["ip"])
         qp = np.asarray(outs["qp"])
+        cp = np.asarray(outs["code_phase"])   # phase at each epoch START
+        end_cp = np.asarray(self._track_state.code_phase)
         for ch in list(self.channels.values()):
             i = ch.state_idx
-            ch.ip_history.extend(ip[:, i].tolist())
-            ch.epochs += n_ep
-            # power monitor / drop (`CheckPower`, gps/channel.cpp:579):
-            # Costas lock metric — mean|IP|^2 / mean(IP^2+QP^2) is ~1
-            # when phase-locked (data on I only), ~0.4 on noise
-            lock = (np.mean(np.abs(ip[:, i])) ** 2 /
-                    max(np.mean(ip[:, i] ** 2 + qp[:, i] ** 2), 1e-9))
-            if lock < 0.55:
-                ch.lost_count += 1
-                if ch.lost_count > 5:
-                    del self.channels[ch.prn]
-            else:
-                ch.lost_count = 0
-        self.ticks += len(raw_if)
+            self._advance_channel(ch, ip[:, i], qp[:, i], cp[:, i],
+                                  float(end_cp[i]), n_ep)
 
-    # -- nav decode ------------------------------------------------------
-    def decode_nav(self) -> None:
-        """Run bit sync + LNAV subframe assembly on each channel's
-        accumulated prompt-I history (host control plane, like the
-        reference's per-channel `Subframe` handling)."""
-        for ch in self.channels.values():
-            if len(ch.ip_history) < 600:     # need bit-sync confidence
+    def _advance_channel(self, ch: GpsChannel, ip: np.ndarray,
+                         qp: np.ndarray, cp_starts: np.ndarray,
+                         cp_end: float, n_ep: int) -> None:
+        # --- unwrap the code-chip counter across this block ---
+        # cp_starts[0] is the phase at the last boundary (== ch.last_cp
+        # when the channel was already running); each epoch advances by
+        # ~1023 chips, so advance[k] = 1023 + wrap(cp[k+1] - cp[k]).
+        seq = np.concatenate([cp_starts, [cp_end]])
+        adv = 1023.0 + ((np.diff(seq) + 511.5) % 1023.0 - 511.5)
+        chips_at_start = ch.chips + np.concatenate(
+            [[0.0], np.cumsum(adv[:-1])])
+        ch.chips = float(chips_at_start[-1] + adv[-1])
+        ch.last_cp = cp_end
+        ch.epochs += n_ep
+
+        # --- prompt history for bit extraction ---
+        # anchor candidates are snapped to the nearest code-period
+        # boundary: nav-bit edges coincide with code-period starts
+        # (20 periods/bit), so the sub-epoch part of the edge time is
+        # recovered exactly from the code phase — this is what gives
+        # pseudoranges chip-level (not epoch-level) precision, like
+        # the reference's code-phase term (`gps/solve.cpp:60-167`)
+        frac = (cp_starts + 511.5) % 1023.0 - 511.5
+        ch.ip_pending.extend(ip.tolist())
+        ch.chip_pending.extend((chips_at_start - frac).tolist())
+        self._consume_bits(ch)
+
+        # power monitor / drop (`CheckPower`, gps/channel.cpp:579):
+        # Costas lock metric — mean|IP|^2 / mean(IP^2+QP^2) is ~1
+        # when phase-locked (data on I only), ~0.4 on noise
+        lock = (np.mean(np.abs(ip)) ** 2 /
+                max(np.mean(ip ** 2 + qp ** 2), 1e-9))
+        if lock < 0.55:
+            ch.lost_count += 1
+            if ch.lost_count > 5:
+                self._drop_channel(ch.prn)
+        else:
+            ch.lost_count = 0
+
+    def _consume_bits(self, ch: GpsChannel) -> None:
+        """Fold pending 1 ms prompts into 20 ms nav bits, feed the
+        subframe assembler, and drain TOW anchors."""
+        if ch.bit_offset is None:
+            if len(ch.ip_pending) < 1000:   # need bit-sync confidence
+                return
+            off = tracking.bit_sync_confident(np.asarray(ch.ip_pending))
+            if off is None:
+                # not confident yet; bound the window (multiples of 20
+                # keep the mod-20 boundary phase intact)
+                if len(ch.ip_pending) > 4000:
+                    del ch.ip_pending[:2000]
+                    del ch.chip_pending[:2000]
+                return
+            ch.bit_offset = off
+            del ch.ip_pending[:off]
+            del ch.chip_pending[:off]
+        nbits = len(ch.ip_pending) // 20
+        if nbits == 0:
+            return
+        ips = np.asarray(ch.ip_pending[: nbits * 20]).reshape(nbits, 20)
+        bits = np.sign(ips.sum(axis=1)).astype(np.int8)
+        for k in range(nbits):
+            ch.bit_anchors.append(ch.chip_pending[20 * k])
+        del ch.ip_pending[: nbits * 20]
+        del ch.chip_pending[: nbits * 20]
+        ch.bits_total += nbits
+        ch.anchor_base = ch.bits_total - len(ch.bit_anchors)
+        ch.asm.feed(bits)
+        for (_sub, start_bit, tow_next) in ch.asm.events:
+            if tow_next <= 0:
                 continue
-            _off, bits = tracking.bit_sync(np.asarray(ch.ip_history))
-            new = bits[ch.bits_fed:]
-            if len(new):
-                ch.asm.feed(new)
-                ch.bits_fed = len(bits)
+            j = start_bit - ch.anchor_base
+            if 0 <= j < len(ch.bit_anchors):
+                # HOW TOW dates the start of the NEXT subframe; this
+                # subframe's first bit is 6 s earlier
+                ch.tow_ref = (tow_next - 6.0, ch.bit_anchors[j])
+        ch.asm.events.clear()
+
+    # -- combined step (server entry point) -------------------------------
+    def process(self, raw_if: np.ndarray, search: bool = False) -> None:
+        """Feed one IF block: optional cold search, then tracking."""
+        if search and len(self.channels) < self.max_chans:
+            raw_if = np.asarray(raw_if, np.float32)
+            if len(self._rem):
+                # searches date code phase at the next tracked sample
+                cap = np.concatenate([self._rem, raw_if])
+            else:
+                cap = raw_if
+            if len(cap) >= self.acq.n_raw:
+                self.cold_search(cap)
+        self.track_block(raw_if)
+
+    # -- nav decode (compat shim; decoding now happens inline) ------------
+    def decode_nav(self) -> None:
+        """Nav decode runs incrementally inside :meth:`track_block`;
+        kept for API compatibility."""
 
     def ephemerides(self) -> dict[int, ephemeris.Ephemeris]:
         """Currently decoded (complete) ephemerides per PRN."""
@@ -161,49 +309,98 @@ class GpsManager:
                 if ch.asm.eph.complete()}
 
     # -- solution --------------------------------------------------------
-    def solve(self, ephemerides: dict[int, ephemeris.Ephemeris] | None,
-              gps_time: float) -> np.ndarray | None:
+    def solve(self, ephemerides: dict[int, ephemeris.Ephemeris] | None
+              = None, gps_time: float | None = None) -> np.ndarray | None:
         """Position solution from current tracking state + ephemerides.
 
-        ``ephemerides``: prn -> Ephemeris (decoded or externally
-        provided — cold-start nav decode needs ~30 s of bits).
+        ``ephemerides``: optional prn -> Ephemeris overrides (assisted
+        start; cold-start decode needs ~30 s of bits).  ``gps_time`` is
+        ignored (transmit times are self-dated from decoded TOW); kept
+        for API compatibility.
+
+        Mirrors the reference's 3 solver sets (`gps/solve.cpp:571-640`):
+        all sats, GPS/QZSS-only, Galileo-only; the fix comes from the
+        best available set ("all" preferred).
         """
-        if ephemerides is None:
-            ephemerides = {}
+        ephemerides = ephemerides or {}
         decoded = self.ephemerides()
-        prns, sat_pos, pranges = [], [], []
-        st = self._track_state
+        meas = []                       # (prn, kind, sat_pos, prange)
         for ch in self.channels.values():
             eph = ephemerides.get(ch.prn) or decoded.get(ch.prn)
-            if eph is None or st is None:
+            t_tx = ch.t_tx_now()
+            if eph is None or t_tx is None:
                 continue
-            cp = float(st.code_phase[ch.state_idx])
-            t_tx_off = (ch.epochs * 1e-3 + cp / 1.023e6)
-            pos, sv_clk = eph.sat_pos(gps_time)
-            prns.append(ch.prn)
-            sat_pos.append(pos)
-            pranges.append(-t_tx_off * solver.C_LIGHT
-                           + sv_clk * solver.C_LIGHT)
-        if len(prns) < 4:
+            pos, sv_clk = eph.sat_pos(t_tx)
+            meas.append((ch.prn, ch.constellation, t_tx, pos, sv_clk))
+        if len(meas) < 4:
             return None
-        fix = self.ekf.update(np.asarray(sat_pos), np.asarray(pranges),
-                              dt=2.0)
+        # common receive instant: all channels snapshot the same epoch
+        # boundary; estimate its GPS time as max t_tx + nominal flight
+        # time, like the reference's GetClock (`gps/solve.cpp:168`)
+        t_rx = max(m[2] for m in meas) + 0.068
+        sets = {
+            "all": meas,
+            "gps": [m for m in meas if m[1] == "gps"],
+            "galileo": [m for m in meas if m[1] == "galileo"],
+        }
+        self.last_solutions = {}
+        fix = None
+        for name, mm in sets.items():
+            if len(mm) < 4:
+                continue
+            sat_pos = np.asarray([m[3] for m in mm])
+            pr = np.asarray([(t_rx - m[2]) * C_LIGHT + m[4] * C_LIGHT
+                             for m in mm])
+            try:
+                pos, bias, rms = solver.solve_ls(sat_pos, pr)
+            except (ValueError, np.linalg.LinAlgError):
+                continue
+            self.last_solutions[name] = dict(
+                pos=pos, bias=bias, rms=rms, nsat=len(mm),
+                prns=[m[0] for m in mm])
+            if name == "all":
+                fix = self.ekf.update(sat_pos, pr, dt=2.0)
+                # clock discipline: solved GPS time of the snapshot
+                # instant vs the receiver sample counter
+                t_gps = t_rx - bias / C_LIGHT
+                self.clock.update(t_gps, self.samples_tracked)
+                if self.on_clock is not None and self.clock.locked:
+                    self.on_clock(self.adc_clock())
+        if fix is None:
+            return None
         self.last_fix = fix
         self.fixes += 1
-        # clock discipline feedback
-        adc = self.clock.update(gps_time, self.ticks)
-        if self.on_clock is not None and self.clock.locked:
-            self.on_clock(adc)
         return fix
+
+    def adc_clock(self) -> float:
+        """GPS-corrected ADC clock (Hz): the measured IF-rate error is
+        the shared-oscillator error (`init/clk.cpp:117-275`)."""
+        return self.adc_clock_nom * (self.clock.adc_clock_hz / self.tp.fs)
 
     def status(self) -> dict:
         """UI/status summary (`gps/stat.cpp` analogue)."""
+        fix_lla = (None if self.last_fix is None
+                   else solver.lla_from_ecef(self.last_fix))
+        sats = []
+        for ch in self.channels.values():
+            e = {"prn": ch.prn, "snr": round(ch.acquired_snr, 1),
+                 "subframes": ch.asm.subframes,
+                 "has_tow": ch.tow_ref is not None}
+            if self.last_fix is not None and ch.t_tx_now() is not None:
+                eph = self.ephemerides().get(ch.prn)
+                if eph is not None:
+                    pos, _ = eph.sat_pos(ch.t_tx_now())
+                    az, el = solver.az_el(self.last_fix, pos)
+                    e["az"], e["el"] = round(az, 1), round(el, 1)
+            sats.append(e)
         return dict(
             tracking=len(self.channels),
             prns=sorted(self.channels),
+            sats=sats,
             fixes=self.fixes,
-            adc_clock=self.clock.adc_clock_hz,
+            adc_clock=self.adc_clock(),
             clock_ppm=round(self.clock.correction_ppm, 3),
-            fix=None if self.last_fix is None else
-            solver.lla_from_ecef(self.last_fix),
+            fix=fix_lla,
+            solutions={k: dict(nsat=v["nsat"], rms=round(v["rms"], 1))
+                       for k, v in self.last_solutions.items()},
         )

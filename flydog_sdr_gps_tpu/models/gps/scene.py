@@ -1,0 +1,216 @@
+"""Synthetic GPS IF scene: a physically consistent multi-satellite
+1-bit 16.368 Msps stream.
+
+The reference can replay recorded SiGe front-end captures
+(GPS_SAMPLES_FROM_FILE, `gps/search.cpp:361-379`); a TPU deployment
+has no RF front end at all, so the equivalent regression input is a
+*generated* capture with known truth: receiver position, satellite
+ephemerides, SV clock offsets, receiver oscillator error.  Everything
+the real sky does to the signal is modeled:
+
+- geometric delay with earth-rotation (Sagnac) correction, iterated
+  per chunk and linearly interpolated within it;
+- satellite clock offset (af0/af1 + relativistic term) advancing the
+  transmitted code/carrier timing;
+- receiver oscillator fractional error ``clock_ppm`` scaling both the
+  sample clock and the downconversion LO (so the GPS clock-discipline
+  loop has something real to measure);
+- live LNAV bit stream: subframes 1-5 cycling with correct HOW TOW
+  and D29*/D30* parity chaining, so the full frame-sync -> ephemeris
+  -> transmit-time pipeline runs end to end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ...numerology import CA_CHIP_RATE, GPS_FC, GPS_FS, L1_CODELEN
+from . import cacode, ephemeris, solver
+
+F_L1 = 1575.42e6
+OMEGA_E = ephemeris.OMEGA_E
+C = solver.C_LIGHT
+
+
+def ecef_from_lla(lat_deg: float, lon_deg: float, alt: float
+                  ) -> np.ndarray:
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    lat, lon = math.radians(lat_deg), math.radians(lon_deg)
+    n = a / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+    return np.array([
+        (n + alt) * math.cos(lat) * math.cos(lon),
+        (n + alt) * math.cos(lat) * math.sin(lon),
+        (n * (1 - e2) + alt) * math.sin(lat)])
+
+
+def make_ephemeris(prn: int, t0: float, omega0: float, m0: float,
+                   af0: float = 0.0, af1: float = 0.0) -> ephemeris.Ephemeris:
+    """A clean GPS orbit (a=26560 km, i=55 deg) through (omega0, m0)."""
+    e = ephemeris.Ephemeris(prn=prn)
+    e.week = 245
+    toe = 16.0 * round(t0 / 16.0)
+    e.toc = e.toe = toe
+    e.af0, e.af1, e.af2 = af0, af1, 0.0
+    e.iode = prn
+    e.sqrt_a = math.sqrt(26560e3)
+    e.e = 0.01
+    e.i0 = 0.958
+    e.omega0 = omega0
+    e.m0 = m0
+    e.omega = 0.6
+    e.omega_dot = -8.0e-9
+    e.idot = 2.0e-10
+    e.delta_n = 4.5e-9
+    e.crs, e.crc = 20.0, 180.0
+    e.cuc, e.cus = 2.0e-6, 7.0e-6
+    e.cic, e.cis = 5.0e-8, -6.0e-8
+    # round-trip through the LNAV encoder so the scene's truth matches
+    # what a receiver can possibly decode (field quantization)
+    rt = ephemeris.Ephemeris(prn=prn)
+    for sub in (1, 2, 3):
+        ephemeris.decode_subframe(ephemeris.encode_subframe(sub, e), rt)
+    rt.prn = prn
+    return rt
+
+
+def visible_constellation(rx_ecef: np.ndarray, t0: float,
+                          n_sats: int = 8, min_el: float = 15.0,
+                          seed: int = 0) -> dict[int, ephemeris.Ephemeris]:
+    """Pick ``n_sats`` ephemerides whose satellites are above
+    ``min_el`` degrees at ``t0`` from ``rx_ecef``."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    prn = 1
+    for plane in range(6):
+        for slot in range(8):
+            if len(out) >= n_sats or prn > 32:
+                return out
+            om0 = plane * math.pi / 3 + 0.13
+            m0 = slot * math.pi / 4 + 0.41 * plane
+            af0 = float(rng.uniform(-2e-5, 2e-5))
+            af1 = float(rng.uniform(-1e-11, 1e-11))
+            eph = make_ephemeris(prn, t0, om0, m0, af0, af1)
+            pos, _ = eph.sat_pos(t0)
+            _az, el = solver.az_el(rx_ecef, pos)
+            prn += 1
+            if el >= min_el:
+                out[eph.prn] = eph
+    return out
+
+
+def lnav_bitstream(eph: ephemeris.Ephemeris, t_start: float,
+                   duration: float) -> tuple[float, np.ndarray]:
+    """LNAV bits covering [t_start, t_start+duration] of SV time.
+
+    Returns (t_bits0, bits +-1): ``t_bits0`` is the SV time of bit 0,
+    aligned to a 6 s subframe boundary.  Subframes cycle 1..5 with
+    correct HOW TOW and parity chaining (IS-GPS-200 20.3.2).
+    """
+    sf0 = int(t_start // 6.0) - 1
+    nsf = int(duration / 6.0) + 3
+    d29 = d30 = 0
+    bits = []
+    for k in range(nsf):
+        sub = (sf0 + k) % 5 + 1
+        tow_next = ((sf0 + k + 1) * 6.0) % 604800.0
+        words = ephemeris.encode_subframe(sub, eph, tow_next=tow_next)
+        for w24 in words:
+            word = ephemeris.parity_encode(w24, d29, d30)
+            for i in range(29, -1, -1):
+                bits.append((word >> i) & 1)
+            d29, d30 = (word >> 1) & 1, word & 1
+    arr = np.asarray(bits, np.int8)
+    return sf0 * 6.0, np.where(arr > 0, 1.0, -1.0).astype(np.float32)
+
+
+@dataclasses.dataclass
+class _Sat:
+    prn: int
+    eph: ephemeris.Ephemeris
+    code: np.ndarray
+    t_bits0: float
+    bits: np.ndarray
+
+
+class GpsScene:
+    """Chunked generator of the 1-bit IF stream (a SampleSource for the
+    GPS subsystem)."""
+
+    def __init__(self, rx_ecef: np.ndarray,
+                 ephemerides: dict[int, ephemeris.Ephemeris],
+                 t0_gps: float, duration: float = 60.0,
+                 fs: float = GPS_FS, fc: float = GPS_FC,
+                 amplitude: float = 0.45, noise: float = 1.0,
+                 clock_ppm: float = 0.0, one_bit: bool = True,
+                 seed: int = 0):
+        self.rx = np.asarray(rx_ecef, float)
+        self.fs = fs
+        self.fc = fc
+        self.t0 = t0_gps
+        self.amplitude = amplitude
+        self.noise = noise
+        self.eps = clock_ppm * 1e-6     # fractional oscillator error
+        self.one_bit = one_bit
+        self.fs_true = fs * (1.0 + self.eps)
+        self._rng = np.random.default_rng(seed)
+        self.ticks = 0                  # samples generated
+        self.adc_clock = fs             # SampleSource duck-typing
+        self.sats = []
+        for prn, eph in ephemerides.items():
+            t_b0, bits = lnav_bitstream(eph, t0_gps, duration + 2.0)
+            self.sats.append(_Sat(
+                prn=prn, eph=eph,
+                code=cacode.ca_code_any(prn).astype(np.float32),
+                t_bits0=t_b0, bits=bits))
+
+    # -- truth accessors for assertions ----------------------------------
+    def true_delay(self, prn: int, t: float) -> float:
+        """Signal flight time (s) at reception GPS time t, including
+        the earth-rotation term the solver corrects for."""
+        eph = next(s.eph for s in self.sats if s.prn == prn)
+        tau = 0.07
+        for _ in range(4):
+            pos, _clk = eph.sat_pos(t - tau)
+            ang = OMEGA_E * tau
+            ca, sa = math.cos(ang), math.sin(ang)
+            rot = np.array([ca * pos[0] + sa * pos[1],
+                            -sa * pos[0] + ca * pos[1], pos[2]])
+            tau = float(np.linalg.norm(rot - self.rx)) / C
+        return tau
+
+    def next_block(self, n: int) -> np.ndarray:
+        """Generate n IF samples (float32; hard-limited when one_bit)."""
+        k = self.ticks + np.arange(n, dtype=np.float64)
+        t = self.t0 + k / self.fs_true        # true GPS reception time
+        x = (self.noise * self._rng.standard_normal(n)
+             if self.noise else np.zeros(n))
+        t_a, t_b = float(t[0]), float(t[-1])
+        frac = (t - t_a) / max(t_b - t_a, 1e-12)
+        lo_rate = (F_L1 - self.fc) * (1.0 + self.eps)
+        for s in self.sats:
+            tau_a = self.true_delay(s.prn, t_a)
+            tau_b = self.true_delay(s.prn, t_b)
+            tau = tau_a + (tau_b - tau_a) * frac
+            _pos, clk = s.eph.sat_pos(t_a - tau_a)
+            t_sv = t - tau + clk              # SV-clock transmit time
+            chips = t_sv * CA_CHIP_RATE
+            code = s.code[np.floor(chips).astype(np.int64) % L1_CODELEN]
+            bidx = np.floor((t_sv - s.t_bits0) / 0.02).astype(np.int64)
+            bit = s.bits[np.clip(bidx, 0, len(s.bits) - 1)]
+            # IF phase: RF phase minus the (oscillator-scaled) LO
+            # phase, rebased to t0 so float64 keeps sub-cycle
+            # precision at GPS week times (~3e5 s):
+            #   F_L1*t_sv - lo_rate*t
+            #     = (F_L1-lo_rate)*(t-t0) + F_L1*(clk-tau) + const
+            f_if = F_L1 - lo_rate
+            ph = f_if * (t - self.t0) + F_L1 * (clk - tau)
+            x += self.amplitude * code * bit * np.cos(
+                2 * np.pi * (ph - np.floor(ph)))
+        self.ticks += n
+        if self.one_bit:
+            return np.sign(x).astype(np.float32)
+        return x.astype(np.float32)

@@ -36,6 +36,24 @@ def lla_from_ecef(p: np.ndarray) -> tuple[float, float, float]:
     return float(np.degrees(lat)), float(np.degrees(lon)), float(alt)
 
 
+def az_el(rx_ecef: np.ndarray, sat_ecef: np.ndarray
+          ) -> tuple[float, float]:
+    """Azimuth/elevation (deg) of a satellite from a receiver position
+    (the sky-map view, `gps/stat.cpp` az/el plots)."""
+    lat, lon, _ = lla_from_ecef(np.asarray(rx_ecef, float))
+    lat, lon = np.radians(lat), np.radians(lon)
+    d = np.asarray(sat_ecef, float) - np.asarray(rx_ecef, float)
+    # ECEF -> ENU
+    e = -np.sin(lon) * d[0] + np.cos(lon) * d[1]
+    n = (-np.sin(lat) * np.cos(lon) * d[0]
+         - np.sin(lat) * np.sin(lon) * d[1] + np.cos(lat) * d[2])
+    u = (np.cos(lat) * np.cos(lon) * d[0]
+         + np.cos(lat) * np.sin(lon) * d[1] + np.sin(lat) * d[2])
+    az = float(np.degrees(np.arctan2(e, n))) % 360.0
+    el = float(np.degrees(np.arctan2(u, np.hypot(e, n))))
+    return az, el
+
+
 def solve_ls(sat_pos: np.ndarray, pranges: np.ndarray,
              x0: np.ndarray | None = None, iters: int = 8
              ) -> tuple[np.ndarray, float, float]:
@@ -105,8 +123,14 @@ class EkfSolver:
         q[0, 0] = q[1, 1] = q[2, 2] = 0.25 * self.q_pos * dt ** 3
         self.x = f @ self.x
         self.p = f @ self.p @ f.T + q
-        # measurement
+        # measurement (with the same earth-rotation correction as LS)
         n = len(pranges)
+        tof = (pranges - self.x[6]) / C_LIGHT
+        ang = OMEGA_E * tof
+        ca, sa = np.cos(ang), np.sin(ang)
+        sat_pos = np.stack([ca * sat_pos[:, 0] + sa * sat_pos[:, 1],
+                            -sa * sat_pos[:, 0] + ca * sat_pos[:, 1],
+                            sat_pos[:, 2]], axis=1)
         d = sat_pos - self.x[:3]
         rho = np.linalg.norm(d, axis=1)
         pred = rho + self.x[6]

@@ -103,6 +103,52 @@ def init_track_state(params: TrackParams, prns, code_phases, dopplers
     return state, jnp.asarray(table)
 
 
+def empty_track_state(params: TrackParams, capacity: int
+                      ) -> tuple[TrackState, jax.Array]:
+    """Fixed-capacity all-inactive bank (+ zero code table).
+
+    The capacity is a compile-time shape (GPS_MAX_CHANS=12, matching
+    the FPGA's fixed correlator count `verilog/gps/gps.v`); acquiring
+    or dropping a satellite only writes one row — the tracking scan is
+    traced exactly once per capacity.
+    """
+    z = jnp.zeros((capacity,), jnp.float32)
+    state = TrackState(
+        code_phase=z, code_rate=z + jnp.float32(CA_CHIP_RATE / params.fs),
+        carr_phase=z,
+        carr_freq=z + jnp.float32(2 * np.pi * params.fc / params.fs),
+        ip_prev=z, qp_prev=z,
+        active=jnp.zeros((capacity,), bool))
+    return state, jnp.zeros((capacity * L1_CODELEN,), jnp.float32)
+
+
+def activate_channel(params: TrackParams, state: TrackState,
+                     code_table: jax.Array, idx: int, prn: int,
+                     code_phase: float, doppler: float
+                     ) -> tuple[TrackState, jax.Array]:
+    """Start tracking ``prn`` in row ``idx`` (handoff from acquisition,
+    `gps/channel.cpp` ChanStart).  Pure row writes — no retrace."""
+    rate = (CA_CHIP_RATE * (1.0 + doppler / 1.57542e9)) / params.fs
+    cf = 2 * np.pi * (params.fc + doppler) / params.fs
+    state = TrackState(
+        code_phase=state.code_phase.at[idx].set(code_phase % L1_CODELEN),
+        code_rate=state.code_rate.at[idx].set(rate),
+        carr_phase=state.carr_phase.at[idx].set(0.0),
+        carr_freq=state.carr_freq.at[idx].set(cf),
+        ip_prev=state.ip_prev.at[idx].set(0.0),
+        qp_prev=state.qp_prev.at[idx].set(0.0),
+        active=state.active.at[idx].set(True))
+    row = jnp.asarray(cacode.ca_code_any(prn).astype(np.float32))
+    code_table = jax.lax.dynamic_update_slice(
+        code_table, row, (idx * L1_CODELEN,))
+    return state, code_table
+
+
+def deactivate_channel(state: TrackState, idx: int) -> TrackState:
+    return dataclasses.replace(state,
+                               active=state.active.at[idx].set(False))
+
+
 def track_epochs(params: TrackParams, state: TrackState,
                  code_table: jax.Array, raw: jax.Array):
     """Track over raw (n_epochs, epoch) 1-bit (+-1 float) samples.
@@ -167,10 +213,13 @@ def track_epochs(params: TrackParams, state: TrackState,
 
         cn0 = (ip * ip + qp * qp) / jnp.maximum(
             e_mag * e_mag + l_mag * l_mag, 1e-9)
+        act = st.active
         new = TrackState(
-            code_phase=code_phase, code_rate=code_rate,
-            carr_phase=carr_phase, carr_freq=carr_freq,
-            ip_prev=ip, qp_prev=qp, active=st.active)
+            code_phase=jnp.where(act, code_phase, st.code_phase),
+            code_rate=jnp.where(act, code_rate, st.code_rate),
+            carr_phase=jnp.where(act, carr_phase, st.carr_phase),
+            carr_freq=jnp.where(act, carr_freq, st.carr_freq),
+            ip_prev=ip, qp_prev=qp, active=act)
         out = dict(ip=ip, qp=qp, code_phase=st.code_phase,
                    carr_freq=carr_freq, dll_err=dll_err,
                    pll_err=pll_err, cn0=cn0)
@@ -183,6 +232,31 @@ def track_epochs(params: TrackParams, state: TrackState,
 # host-side bit sync (reference: host Tracking() nav-bit collection,
 # `gps/channel.cpp:430-530`)
 # ---------------------------------------------------------------------------
+
+def bit_sync_confident(ip_seq: np.ndarray, settle: int = 300,
+                       min_flips: int = 8, dominance: float = 2.0
+                       ) -> int | None:
+    """Bit-boundary phase (0..19) with a confidence gate, or None.
+
+    The first ``settle`` epochs are skipped (DLL/PLL pull-in makes
+    spurious sign flips — the reference likewise waits for lock before
+    collecting nav bits, `gps/channel.cpp:430-530`); the winning
+    histogram bin must hold ``min_flips`` hits and beat the runner-up
+    by ``dominance``.  ``settle`` must be a multiple of 20 so the
+    returned phase is relative to ``ip_seq[0]``.
+    """
+    assert settle % 20 == 0
+    seq = np.asarray(ip_seq)[settle:]
+    flips = np.where(np.diff(np.signbit(seq)))[0] + 1
+    if len(flips) == 0:
+        return None
+    hist = np.bincount(flips % 20, minlength=20)
+    best = int(np.argmax(hist))
+    runner = int(np.sort(hist)[-2])
+    if hist[best] < min_flips or hist[best] < dominance * max(runner, 1):
+        return None
+    return best
+
 
 def bit_sync(ip_seq: np.ndarray) -> tuple[int, np.ndarray]:
     """Find the 20 ms nav-bit boundary and integrate bits.

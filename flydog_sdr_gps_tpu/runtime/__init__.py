@@ -3,3 +3,4 @@
 from .source import (FileSource, SampleSource, SyntheticSource,
                      DeviceSceneSource)
 from .stream import StreamEngine
+from .gps_service import GpsReceiver

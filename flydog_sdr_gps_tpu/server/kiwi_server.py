@@ -40,6 +40,7 @@ from .. import extensions as ext_mod
 from ..utils.log import lprintf
 from ..utils.trace import ev, EV_SND, EV_WF, EV_WS
 from . import packets
+from . import wf_service
 
 
 class Connection:
@@ -62,10 +63,12 @@ class Connection:
         self.adpcm_wf = adpcm.AdpcmState()
         self.zoom = 0
         self.start_bin = 0
-        self.wf_speed = 2
-        self.wf_state = None
-        self.wf_params = None
-        self.wf_tune = None
+        self.wf_speed = 3
+        self.wf_slot = None           # shared WfSubsystem slot
+        self.wf_interp = "cma"
+        self.aperture = None          # ApertureAuto when aper=AUTO
+        self.last_wf_send = 0.0
+        self.last_aper = (None, None)
         self.wf_cf = 15.0e6
         self.freq_khz = 7100.0
         self.mode = "lsb"
@@ -138,7 +141,28 @@ class Connection:
             self.last_active = time.time()
         elif cmd in ("wf_speed", "wf"):
             if "speed" in p:
-                self.wf_speed = int(p["speed"])
+                self.wf_speed = max(0, min(int(p["speed"]),
+                                           len(wf_service.WF_SPEEDS_FPS)
+                                           - 1))
+        elif cmd == "interp":
+            # "SET interp=" selector (+WF_CIC_COMP offset flags the
+            # reference's software CIC compensation; our halfband
+            # chain is droop-free so only the mode matters)
+            v = int(p.get("interp", 4))
+            if v >= wf_service.WF_CIC_COMP:
+                v -= wf_service.WF_CIC_COMP
+            if 0 <= v < len(wf_service.WF_INTERP):
+                self.wf_interp = wf_service.WF_INTERP[v]
+                self._rebuild_wf()
+        elif cmd == "aper":
+            # "SET aper=%d algo=%d param=%f" (rx_waterfall.cpp:550):
+            # aper=1 -> auto aperture reports, algo OFF = single shot
+            if int(p.get("aper", 0)) == 1:
+                self.aperture = wf_model.ApertureAuto(
+                    algo=int(p.get("algo", 0)),
+                    param=float(p.get("param", 8.0)))
+            else:
+                self.aperture = None
         elif cmd == "ext_switch_to_client":
             name = p.get("ext_switch_to_client", "")
             if name in ext_mod.ext_list() and ch is not None:
@@ -156,16 +180,17 @@ class Connection:
         # unknown SETs are tolerated, like the reference's default case
 
     def _rebuild_wf(self) -> None:
-        self.wf_params = wf_model.WfParams(zoom=self.zoom)
-        # center frequency from the start bin (client computes start in
-        # units of HZperStart = ui_srate / (WF_WIDTH << MAX_ZOOM))
-        hz_per_start = self.server.ui_srate / (1024 << 14)
-        span = self.wf_params.span
-        cf = self.start_bin * hz_per_start + span / 2
-        self.wf_cf = min(max(cf, span / 2), self.server.ui_srate)
-        self.wf_tune = wf_model.tune(self.wf_params, self.wf_cf)
-        self.wf_state = wf_model.init_state(self.wf_params)
+        """Switch this connection's shared waterfall slot (zoom/pan/
+        interp changes hit the process-wide jit cache — no retrace)."""
+        self.server.wf.detach(self.wf_slot)
+        self.wf_slot = self.server.wf.attach(self.zoom, self.start_bin,
+                                             self.wf_interp)
+        if self.wf_slot is not None:
+            self.wf_cf = self.wf_slot.cf
         self.adpcm_wf = adpcm.AdpcmState()
+        if self.aperture is not None:
+            self.aperture = wf_model.ApertureAuto(
+                algo=self.aperture.algo, param=self.aperture.param)
 
     async def send_ext(self, tag: bytes, payload: bytes) -> None:
         ws = self.ext_ws or self.snd_ws
@@ -253,50 +278,46 @@ class Connection:
         self.wf_seq += 1
         await self.wf_ws.send_bytes(pkt)
 
-    async def emit_wf(self, x_dev) -> None:
-        """Ingest the raw block into this connection's WF chain and
-        send a row when the frame pacing allows."""
+    async def emit_wf(self) -> None:
+        """Send one waterfall row from the shared slot when this
+        connection's fps pacing allows (`rx_waterfall.cpp:71-72`)."""
         if self.wf_ws is None or self.wf_ws.closed or \
-                self.wf_params is None:
+                self.wf_slot is None:
             return
-        import jax.numpy as jnp
-        # deep zooms need 2^z-divisible ingest lengths: accumulate raw
-        # blocks first (reference analogue: slow continuous fill,
-        # `rx_waterfall.cpp:980-1005`)
-        need = self.wf_params.ingest_blocks(x_dev.shape[0])
-        if need > 1:
-            self._wf_acc = getattr(self, "_wf_acc", [])
-            self._wf_acc.append(x_dev)
-            if len(self._wf_acc) < need:
-                return
-            x_dev = jnp.concatenate(self._wf_acc)
-            self._wf_acc = []
-        br, bi, dphi = self.wf_tune
-        self.wf_state = wf_model.wf_ingest(
-            self.wf_params, self.wf_state, x_dev,
-            jnp.asarray(br), jnp.asarray(bi), jnp.asarray(dphi))
-        # pacing: server block rate ~23.4/s; speed selects a divisor
-        fps_div = {0: 23, 1: 23, 2: 2, 3: 1, 4: 1}.get(self.wf_speed, 2)
-        if self.wf_seq % max(fps_div, 1) == 0:
-            row_db = wf_model.wf_frame(self.wf_params, self.wf_state)
-            row = np.asarray(wf_model.wf_row_u8(
-                row_db + self.server.wf_cal))
-            # zoom 0 is never compressed (strong-carrier interaction,
-            # `rx_waterfall.cpp:1284-1285`); fresh codec state + 10-byte
-            # pad of the first value per row (`:1625-1627`)
-            if self.compression and self.zoom != 0:
-                st = adpcm.AdpcmState()
-                padded = np.concatenate(
-                    [np.full(packets.ADPCM_PAD, row[0], np.uint8), row])
-                data = adpcm.encode_u8(padded, st)
-                pkt = packets.wf_packet(self.start_bin, self.zoom,
-                                        self.wf_seq, data.tobytes(),
-                                        compressed=True)
-            else:
-                pkt = packets.wf_packet(self.start_bin, self.zoom,
-                                        self.wf_seq, row.tobytes())
-            await self.wf_ws.send_bytes(pkt)
-            ev(EV_WF, "row", f"z{self.zoom}")
+        fps = wf_service.WF_SPEEDS_FPS[self.wf_speed]
+        now = time.monotonic()
+        if fps <= 0 or now - self.last_wf_send < 1.0 / fps:
+            return
+        self.last_wf_send = now
+        loop = asyncio.get_running_loop()
+        row_db = await loop.run_in_executor(
+            None, self.server.wf.frame, self.wf_slot)
+        row_dbm = row_db + self.server.wf_cal
+        if self.aperture is not None:
+            self.aperture.accumulate(row_dbm)
+            rep = self.aperture.report(now)
+            if rep is not None and rep != self.last_aper:
+                self.last_aper = rep
+                await self.send_msg("W/F", maxdb=rep[0])
+                await self.send_msg("W/F", mindb=rep[1])
+        row = np.clip(np.round(255.0 + row_dbm), 0,
+                      255).astype(np.uint8)
+        # zoom 0 is never compressed (strong-carrier interaction,
+        # `rx_waterfall.cpp:1284-1285`); fresh codec state + 10-byte
+        # pad of the first value per row (`:1625-1627`)
+        if self.compression and self.zoom != 0:
+            st = adpcm.AdpcmState()
+            padded = np.concatenate(
+                [np.full(packets.ADPCM_PAD, row[0], np.uint8), row])
+            data = adpcm.encode_u8(padded, st)
+            pkt = packets.wf_packet(self.start_bin, self.zoom,
+                                    self.wf_seq, data.tobytes(),
+                                    compressed=True)
+        else:
+            pkt = packets.wf_packet(self.start_bin, self.zoom,
+                                    self.wf_seq, row.tobytes())
+        await self.wf_ws.send_bytes(pkt)
+        ev(EV_WF, "row", f"z{self.zoom}")
         self.wf_seq += 1
 
 
@@ -305,11 +326,18 @@ class KiwiServer:
 
     def __init__(self, engine, cfg=None, port: int = 8073,
                  ui_srate: float = 30.0e6, wf_fps: int = 23,
-                 realtime: bool = False, wf_enabled: bool = True):
+                 realtime: bool = False, wf_enabled: bool = True,
+                 wf_chans: int = 4, gps=None):
         if web is None:
             raise RuntimeError("aiohttp not available")
         self.engine = engine
         self.cfg = cfg
+        # GPS subsystem (a runtime.gps_service.GpsReceiver): searches,
+        # tracks and solves in the background; clock corrections retune
+        # every DDC NCO (`rx/rx_sound.cpp:334-344`)
+        self.gps = gps
+        if gps is not None and gps.engine is None:
+            gps.engine = engine
         self.port = port
         self.ui_srate = ui_srate
         self.wf_fps = wf_fps
@@ -318,6 +346,9 @@ class KiwiServer:
         # `rx/rx_waterfall.cpp` audio-FFT mode)
         self.wf_enabled = wf_enabled
         self.wf_cal = -13.0
+        # shared waterfall chains (reference wf_chans, <=4 DDCs)
+        self.wf = wf_service.WfSubsystem(
+            engine.params.adc_clock, ui_srate, capacity=wf_chans)
         self.realtime = realtime
         self.conns: dict[str, Connection] = {}
         self.start_time = time.time()
@@ -333,6 +364,7 @@ class KiwiServer:
         self.app.router.add_get("/status", self.http_status)
         self.app.router.add_get("/users", self.http_users)
         self.app.router.add_get("/snr", self.http_snr)
+        self.app.router.add_get("/gps", self.http_gps)
         self.app.router.add_get("/{ts}/{stream:.*}", self.ws_entry)
 
     def check_password(self, conn_type: str, password: str) -> bool:
@@ -381,6 +413,8 @@ class KiwiServer:
         # campers share someone else's channel — never free it
         if conn.rx_chan is not None and not conn.camping:
             self.engine.ctl[conn.rx_chan].in_use = False
+        self.wf.detach(conn.wf_slot)
+        conn.wf_slot = None
         self.conns.pop(conn.ts, None)
 
     # -- websocket endpoints --------------------------------------------
@@ -443,6 +477,8 @@ class KiwiServer:
                 conn.snd_ws = None
             elif stream == "W/F":
                 conn.wf_ws = None
+                self.wf.detach(conn.wf_slot)
+                conn.wf_slot = None
             elif stream == "EXT":
                 conn.ext_ws = None
             if conn.snd_ws is None and conn.wf_ws is None and \
@@ -492,6 +528,14 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         eng = self.engine
         users = sum(1 for c in self.conns.values()
                     if c.rx_chan is not None)
+        gps_pos, gps_good, gps_fixes = "(0, 0)", 0, 0
+        if self.gps is not None:
+            gst = self.gps.status()
+            gps_good = gst["tracking"]
+            gps_fixes = gst["fixes"]
+            if gst["fix"] is not None:
+                lat, lon, _alt = gst["fix"]
+                gps_pos = f"({lat:.6f}, {lon:.6f})"
         fields = {
             "status": "active",
             "offline": "no",
@@ -501,9 +545,9 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             "users": users,
             "users_max": eng.params.num_channels,
             "avatar_ctime": 0,
-            "gps": "(0, 0)",
-            "gps_good": 0,
-            "fixes": 0,
+            "gps": gps_pos,
+            "gps_good": gps_good,
+            "fixes": gps_fixes,
             "adc_ov": self.adc_ov_count,
             "bands": int(self.ui_srate / 1e3),
             "freq_offset": 0.0,
@@ -576,6 +620,18 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                     blacklist_len=len(self.ip_blacklist)))
         return ws
 
+    async def http_gps(self, request):
+        """Full GPS subsystem status as JSON: tracked PRNs with az/el,
+        solutions per solver set, clock discipline (the data behind the
+        reference's GPS admin tab / sky map, `gps/stat.cpp`)."""
+        if self.gps is None:
+            return web.Response(text=json.dumps({"enabled": False}),
+                                content_type="application/json")
+        st = dict(self.gps.status())
+        st["enabled"] = True
+        return web.Response(text=json.dumps(st),
+                            content_type="application/json")
+
     async def http_snr(self, request):
         """SNR self-measurement history (`rx/rx_util.cpp:917-1080`
         SNR_meas analogue; measurements appended by snr_measure())."""
@@ -631,7 +687,14 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             if adc_ovfl:
                 self.adc_ov_count += 1
             iq_np = (got[3], got[4]) if need_iq else None
-            x_dev = None
+            # ONE shared waterfall ingest per block serves every
+            # attached connection (reference: <=4 shared WF DDCs)
+            if self.wf_enabled and any(
+                    c.authed and c.wf_ws is not None
+                    and c.wf_slot is not None
+                    for c in self.conns.values()):
+                await loop.run_in_executor(
+                    None, self.wf.ingest, self.engine._last_x)
             for conn in list(self.conns.values()):
                 try:
                     if conn.authed and conn.snd_ws is not None and \
@@ -645,10 +708,8 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                             if conn.rx_chan is not None:
                                 await conn.emit_wf_audio(
                                     audio_np[:, conn.rx_chan])
-                        elif conn.wf_params is not None:
-                            if x_dev is None:
-                                x_dev = self.engine._last_x
-                            await conn.emit_wf(x_dev)
+                        elif conn.wf_slot is not None:
+                            await conn.emit_wf()
                     if conn.ext is not None:
                         msgs = await loop.run_in_executor(
                             None, conn.ext.process_block, taps)
@@ -672,9 +733,15 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         site = web.TCPSite(runner, "0.0.0.0", self.port)
         await site.start()
         self._block_task = asyncio.create_task(self.block_loop())
+        self._gps_task = (asyncio.create_task(self.gps.run())
+                          if self.gps is not None else None)
         lprintf("KiwiServer listening on :%d", self.port)
         return runner
 
     async def stop(self):
         self._stop.set()
         self._block_task.cancel()
+        if self.gps is not None:
+            self.gps.stop()
+            if self._gps_task is not None:
+                self._gps_task.cancel()

@@ -12,6 +12,10 @@ p = argparse.ArgumentParser()
 p.add_argument("--port", type=int, default=8073)
 p.add_argument("--cpu", action="store_true")
 p.add_argument("--channels", type=int, default=4)
+p.add_argument("--gps", action="store_true",
+               help="run the GPS subsystem on a synthetic sky scene")
+p.add_argument("--gps-ppm", type=float, default=0.4,
+               help="simulated oscillator error the GPS loop recovers")
 p.add_argument("--no-realtime", dest="realtime",
                action="store_false", default=True)
 args = p.parse_args()
@@ -23,7 +27,7 @@ if args.cpu:
 import numpy as np  # noqa: E402
 from flydog_sdr_gps_tpu.models import rx_channel as rx  # noqa: E402
 from flydog_sdr_gps_tpu.runtime import (  # noqa: E402
-    StreamEngine, SyntheticSource)
+    GpsReceiver, StreamEngine, SyntheticSource)
 from flydog_sdr_gps_tpu.server import KiwiServer  # noqa: E402
 
 
@@ -39,7 +43,23 @@ src = SyntheticSource(
            (10.000e6, 0.20)],
     noise_rms=3e-4)
 eng = StreamEngine(params, src)
-server = KiwiServer(eng, port=args.port, realtime=args.realtime)
+
+gps = None
+if args.gps:
+    from flydog_sdr_gps_tpu.models.gps import manager as gps_manager
+    from flydog_sdr_gps_tpu.models.gps import scene as gps_scene
+    rx_pos = gps_scene.ecef_from_lla(47.37, 8.54, 450.0)
+    t0 = 345600.0 + 3.0
+    ephs = gps_scene.visible_constellation(rx_pos, t0, n_sats=8)
+    sky = gps_scene.GpsScene(rx_pos, ephs, t0, duration=3600.0,
+                             clock_ppm=args.gps_ppm, noise=0.9,
+                             amplitude=0.5)
+    mgr = gps_manager.GpsManager(
+        prns=tuple(ephs) + (3, 7, 30))      # scene PRNs + decoys
+    gps = GpsReceiver(sky, mgr, engine=eng)
+
+server = KiwiServer(eng, port=args.port, realtime=args.realtime,
+                    gps=gps)
 
 
 async def main():

@@ -222,12 +222,19 @@ def test_ls_solver_exact():
 
 def test_ekf_converges():
     truth, sat_pos, pranges, bias = make_geometry(seed=2)
+    # the EKF (like the LS solver) now applies the Sagnac correction,
+    # so the forward model must rotate transmit-time positions back
+    tof = pranges / solver.C_LIGHT
+    ang = ephemeris.OMEGA_E * tof
+    sx = np.cos(ang) * sat_pos[:, 0] - np.sin(ang) * sat_pos[:, 1]
+    sy = np.sin(ang) * sat_pos[:, 0] + np.cos(ang) * sat_pos[:, 1]
+    sat_tx = np.stack([sx, sy, sat_pos[:, 2]], axis=1)
     ekf = solver.EkfSolver()
     rng = np.random.default_rng(5)
     pos = None
     for _ in range(20):
         noisy = pranges + rng.standard_normal(len(pranges)) * 3.0
-        pos = ekf.update(sat_pos, noisy, dt=2.0)
+        pos = ekf.update(sat_tx, noisy, dt=2.0)
     assert np.linalg.norm(pos - truth) < 10.0
 
 
