@@ -45,6 +45,29 @@ from ..ops.channelizer import frame
 from ..ops.cplx import Cplx
 
 
+@functools.lru_cache(maxsize=None)
+def make_wf_params(zoom: int, adc_clock: float = ADC_CLOCK_NOM,
+                   ui_srate: float = UI_SRATE_30M) -> "WfParams":
+    """Shared per-zoom build (filters + pixel maps are identical for
+    every connection at a zoom — build them once per process)."""
+    return WfParams(zoom=zoom, adc_clock=adc_clock, ui_srate=ui_srate)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_ingest(params: "WfParams"):
+    """Process-wide compiled ingest per zoom: a connection changing
+    zoom reuses the existing trace (the round-1 build recompiled per
+    (connection, zoom) — the single heaviest avoidable cost)."""
+    return jax.jit(lambda st, x, br, bi, dp:
+                   wf_ingest(params, st, x, br, bi, dp))
+
+
+@functools.lru_cache(maxsize=None)
+def jit_frame(params: "WfParams", window_kind: str, mode: str):
+    return jax.jit(lambda st, mask: wf_frame(params, st, window_kind,
+                                             mode, mask=mask))
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class WfParams:
     """Static build of one waterfall channel at a given zoom."""
@@ -212,32 +235,44 @@ def wf_ingest(params: WfParams, state: WfState, x: jax.Array,
 # frame computation
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=64)
-def _pixel_map(fft_size: int, out_px: int, frac: float, mode: str
-               ) -> np.ndarray:
-    """(fft_size, out_px) bin->pixel matrix over the central ``frac`` of
-    the (fftshifted) spectrum.  mode: 'cma' (averaging) or 'drop'."""
-    m = np.zeros((fft_size, out_px), np.float32)
+# Bin -> pixel reduction modes, matching the reference's interp
+# selector (`rx/rx_waterfall.cpp:74` {max, min, last, drop, cma},
+# "SET interp=", applied in its per-pixel plot loop `:896-926`).
+WF_MODES = ("max", "min", "last", "drop", "cma")
+
+
+@functools.lru_cache(maxsize=256)
+def _pixel_segments(fft_size: int, out_px: int, frac: float
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Segment ids (fft_size,) mapping each (fftshifted) bin to its
+    pixel (out_px = out-of-span sentinel), plus per-pixel 'drop'
+    (center) and 'last' bin gather indices."""
     used = fft_size * frac
     b0 = (fft_size - used) / 2.0
+    seg = np.full((fft_size,), out_px, np.int32)
+    drop_idx = np.zeros((out_px,), np.int32)
+    last_idx = np.zeros((out_px,), np.int32)
     for p in range(out_px):
         lo = b0 + used * p / out_px
         hi = b0 + used * (p + 1) / out_px
-        if mode == "drop":
-            m[int((lo + hi) / 2) % fft_size, p] = 1.0
-        else:
-            ilo, ihi = int(np.floor(lo)), int(np.ceil(hi))
-            for b in range(ilo, ihi):
-                w = min(hi, b + 1) - max(lo, b)
-                if w > 0:
-                    m[b % fft_size, p] = w / (hi - lo)
-    return m
+        ilo, ihi = int(np.ceil(lo - 1e-9)), int(np.ceil(hi - 1e-9))
+        seg[max(ilo, 0):min(max(ihi, ilo + 1), fft_size)] = p
+        drop_idx[p] = int((lo + hi) / 2) % fft_size
+        last_idx[p] = min(max(ihi - 1, 0), fft_size - 1)
+    return seg, drop_idx, last_idx
 
 
 def wf_frame(params: WfParams, state: WfState,
              window_kind: str = windows.HANNING,
-             mode: str = "cma") -> jax.Array:
-    """Compute one waterfall row: (out_px,) float32 dBFS."""
+             mode: str = "cma", mask: jax.Array | None = None
+             ) -> jax.Array:
+    """Compute one waterfall row: (out_px,) float32 dBFS.
+
+    ``mode``: bin->pixel reduction (see WF_MODES).  ``mask``: optional
+    (out_px,) multiplier applied to linear pixel power — masked
+    frequencies go to 0 exactly like the reference zeroing fft_scale
+    for DX-masked bands (`rx_waterfall.cpp:905-918`).
+    """
     w = jnp.asarray(windows.window(window_kind, params.fft_size))
     wn = w / np.sum(windows.window(window_kind, params.fft_size),
                     dtype=np.float64)
@@ -246,10 +281,83 @@ def wf_frame(params: WfParams, state: WfState,
     spec = fft_ops.fftshift_axis(spec)
     power = spec.abs2()
     frac = params.span / (params.adc_clock / params.total_decim)
-    pmap = jnp.asarray(_pixel_map(params.fft_size, params.out_px,
-                                  float(frac), mode))
-    px = power @ pmap
+    seg, drop_idx, last_idx = _pixel_segments(
+        params.fft_size, params.out_px, float(frac))
+    segj = jnp.asarray(seg)
+    npx = params.out_px
+    if mode == "cma":
+        s = jax.ops.segment_sum(power, segj, num_segments=npx + 1)
+        n = jax.ops.segment_sum(jnp.ones_like(power), segj,
+                                num_segments=npx + 1)
+        px = (s / jnp.maximum(n, 1.0))[:npx]
+    elif mode == "max":
+        px = jax.ops.segment_max(power, segj, num_segments=npx + 1)[:npx]
+    elif mode == "min":
+        px = jax.ops.segment_min(power, segj, num_segments=npx + 1)[:npx]
+    elif mode == "last":
+        px = power[jnp.asarray(last_idx)]
+    elif mode == "drop":
+        px = power[jnp.asarray(drop_idx)]
+    else:
+        raise ValueError(f"unknown wf mode {mode!r}")
+    if mask is not None:
+        px = px * mask
     return 10.0 * jnp.log10(px + 1e-30)
+
+
+class ApertureAuto:
+    """Auto-aperture estimation (`rx_waterfall.cpp:1176-1270`
+    aperture_auto): per-pixel averaged power (IIR / MMA / EMA
+    selectable), then a 5 dB-resolution histogram — the most common
+    band is the noise floor (mindb), the highest occupied band the
+    signal ceiling (maxdb).  Reported every ``report_s`` while on, or
+    once when used single-shot (algo OFF), as "MSG maxdb/mindb".
+    """
+    OFF, IIR, MMA, EMA = range(4)
+    RESOLUTION_DB = 5.0
+
+    def __init__(self, algo: int = MMA, param: float = 8.0,
+                 report_s: float = 3.0):
+        self.algo = algo
+        self.param = param
+        self.report_s = report_s if algo != self.OFF else 1.0
+        self.avg_pwr: np.ndarray | None = None
+        self.last_report = 0.0
+        self.pending = True
+
+    def accumulate(self, row_dbm: np.ndarray) -> None:
+        row_dbm = np.asarray(row_dbm, np.float64)
+        if self.avg_pwr is None:
+            self.avg_pwr = row_dbm.copy()
+            return
+        algo = self.MMA if self.algo == self.OFF else self.algo
+        param = 8.0 if self.algo == self.OFF else self.param
+        if algo == self.IIR:
+            gain = np.maximum(1.0 - np.exp(-param * row_dbm / 255.0),
+                              0.01)
+            self.avg_pwr += (row_dbm - self.avg_pwr) * gain
+        elif algo == self.MMA:
+            self.avg_pwr = (self.avg_pwr * (param - 1) + row_dbm) / param
+        else:                                   # EMA
+            self.avg_pwr += (row_dbm - self.avg_pwr) / param
+
+    def report(self, now: float) -> tuple[int, int] | None:
+        """(maxdb, mindb) when due, else None."""
+        if self.avg_pwr is None or now < self.last_report + self.report_s:
+            return None
+        if self.algo == self.OFF and not self.pending:
+            return None
+        self.last_report = now
+        self.pending = False
+        r = self.RESOLUTION_DB
+        bands = np.floor(self.avg_pwr / r) * r
+        bands = bands[bands > -190.0]           # disregard masked areas
+        if len(bands) == 0:
+            return -110, -120
+        vals, counts = np.unique(bands, return_counts=True)
+        mindb = int(vals[np.argmax(counts)])    # modal band = noise
+        maxdb = int(max(vals.max(), -80.0))     # reference floor at -80
+        return maxdb, mindb
 
 
 def wf_row_u8(row_db: jax.Array) -> jax.Array:
