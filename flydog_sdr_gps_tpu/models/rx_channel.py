@@ -55,7 +55,9 @@ class RxParams:
     snd_rate: int = SND_RATE_12K
     audio_block: int = AUDIO_BLOCK
     atten_db: float = 90.0
-    enable_nr: bool = False         # spectral NR stage in the jit graph
+    enable_nr: bool = True          # build the NR stages in the graph
+                                    # (runtime cond-gated; channels with
+                                    # NR off pay nothing per block)
     enable_nb: bool = True
     # stage-1 matmul precision: "high" = 3-pass bf16 (~-98 dB error,
     # ~30% faster) or "highest" = full f32
@@ -76,12 +78,34 @@ class RxParams:
             demod_ops.SamParams(fs=self.ddc.fs_out))
         object.__setattr__(
             self, "nr", noise_ops.SpectralNRParams())
+        # NR_ORIG/NR_WDSP LMS pair: autonotch then denoiser
+        # (`rx/rx_sound.cpp:933-943`)
+        object.__setattr__(
+            self, "lms_notch_p", noise_ops.LmsParams(notch=True))
+        object.__setattr__(
+            self, "lms_den_p", noise_ops.LmsParams(notch=False))
+        # SAM sideband-selection masks on the PLL-locked baseband
+        # (reference: +-45 deg allpass Hilbert pair,
+        # `rx/wdsp/SAM_demod.cpp:85-105`; here: one-sided overlap-save
+        # frequency masks — same math, frequency-domain)
+        fs = self.ddc.fs_out
+        edge = 0.97 * fs / 2
+        object.__setattr__(
+            self, "sb_coef_l",
+            fastfir.passband_freq_coef(fs, -edge, -15.0, plan=self.fir))
+        object.__setattr__(
+            self, "sb_coef_u",
+            fastfir.passband_freq_coef(fs, 15.0, edge, plan=self.fir))
 
     ddc: chz.DDCPlan = dataclasses.field(init=False)
     fir: fastfir.FastFIRPlan = dataclasses.field(init=False)
     agc: agc_ops.AgcParams = dataclasses.field(init=False)
     sam: demod_ops.SamParams = dataclasses.field(init=False)
     nr: noise_ops.SpectralNRParams = dataclasses.field(init=False)
+    lms_notch_p: noise_ops.LmsParams = dataclasses.field(init=False)
+    lms_den_p: noise_ops.LmsParams = dataclasses.field(init=False)
+    sb_coef_l: np.ndarray = dataclasses.field(init=False)
+    sb_coef_u: np.ndarray = dataclasses.field(init=False)
 
     @property
     def fs_out(self) -> float:
@@ -112,6 +136,8 @@ class RxTuning:
     deemph_on: jax.Array         # (C,) bool NBFM/AM de-emphasis
     mute_over_dbm: jax.Array     # (C,) f32 overload mute threshold
     nr_on: jax.Array             # (C,) bool spectral NR enable
+    nr_notch_on: jax.Array       # (C,) bool LMS autonotch enable
+    nr_den_on: jax.Array         # (C,) bool LMS denoiser enable
     fm_deviation: jax.Array      # () float32
 
 
@@ -126,8 +152,12 @@ class RxState:
     sam: demod_ops.SamState
     fm_last: Cplx                 # (C,)
     squelch: demod_ops.SquelchState
+    rssi_sq: demod_ops.RssiSquelchState
     nb_mavg: jax.Array            # (C,) float32
     nr: noise_ops.SpectralNRState
+    lms_notch: noise_ops.LmsState
+    lms_den: noise_ops.LmsState
+    sb_tail: Cplx                 # (ntaps-1, C) sideband-filter carry
     smeter: jax.Array             # (C,) float32 filtered power
     deemph: jax.Array             # (C,) float32 de-emphasis z1
 
@@ -143,8 +173,12 @@ def init_state(params: RxParams) -> RxState:
         fm_last=Cplx(jnp.ones((c,), jnp.float32),
                      jnp.zeros((c,), jnp.float32)),
         squelch=demod_ops.init_squelch_state(c),
+        rssi_sq=demod_ops.init_rssi_squelch(c),
         nb_mavg=jnp.full((c,), 1e-3, jnp.float32),
         nr=noise_ops.init_spectral_nr(params.nr, c),
+        lms_notch=noise_ops.init_lms(params.lms_notch_p, c),
+        lms_den=noise_ops.init_lms(params.lms_den_p, c),
+        sb_tail=fastfir.init_state(params.fir, c),
         smeter=jnp.zeros((c,), jnp.float32),
         deemph=jnp.zeros((c,), jnp.float32),
     )
@@ -179,6 +213,8 @@ def default_tuning(params: RxParams,
         deemph_on=jnp.zeros((c,), bool),
         mute_over_dbm=jnp.full((c,), 20.0, jnp.float32),
         nr_on=jnp.zeros((c,), bool),
+        nr_notch_on=jnp.zeros((c,), bool),
+        nr_den_on=jnp.zeros((c,), bool),
         fm_deviation=jnp.float32(2500.0),
     )
 
@@ -208,21 +244,28 @@ def _default_passband(mode: int) -> tuple[float, float]:
 class RxTaps:
     """Per-block outputs at the reference's extension tap points."""
     audio: jax.Array              # (B, C) float32 demodulated audio
+                                  # (stereo SAS: left = LSB)
+    audio2: jax.Array             # (B, C) float32 stereo right (USB) for
+                                  # SAS; equals ``audio`` for mono modes
     iq_pre_fir: Cplx              # (B, C) DDC output
     iq_post_agc: Cplx             # (B, C) after passband+AGC
     smeter_dbm: jax.Array         # (C,) float32 block peak level
 
 
-def rx_block(params: RxParams, state: RxState, tuning: RxTuning,
-             x_adc: jax.Array) -> tuple[RxState, RxTaps]:
-    """Process one ADC block through every channel.  jit-compiled once.
+def audio_back_half(params: RxParams, state: RxState, tuning: RxTuning,
+                    iq: Cplx) -> tuple[RxState, RxTaps]:
+    """The audio-rate chain after the DDC, for all channels at once.
 
-    x_adc: (adc_block,) float32.
+    Shared verbatim between the single-device `rx_block` and the
+    sharded step (`parallel/sharded_rx`); the returned state carries
+    ``state.ddc`` through unchanged (the caller owns the DDC carry).
+
+    Stage order follows `rx/rx_sound.cpp`: blanker (pre-FIR tap) ->
+    passband FIR -> S-meter -> AGC -> demod (:707-896) -> NR dispatch
+    (:922-948) -> squelch (:951-987) -> de-emphasis -> overload mute
+    (:989-1014).
     """
     d = demod_ops
-    # --- DDC front half (MXU) ---
-    new_ddc, iq = _ddc(params, state, tuning, x_adc)
-
     # --- noise blanker on raw IQ (reference taps pre-FIR) ---
     # two algorithms, per-channel select: NB_STD zeroes the impulse
     # window (CuteSDR CNoiseProc), NB_WILD bridges it by interpolation
@@ -253,27 +296,79 @@ def rx_block(params: RxParams, state: RxState, tuning: RxTuning,
     ssb_audio = demod_ops.ssb_demod(zg)
     fm_audio, fm_last = demod_ops.fm_demod(
         zg, state.fm_last, params.fs_out, tuning.fm_deviation)
-    sam_audio, sam_state = demod_ops.sam_demod(params.sam, zg, state.sam)
+    sam_audio, v_locked, sam_state = demod_ops.sam_demod(
+        params.sam, zg, state.sam)
+
+    # --- SAM sideband selection (SAL/SAU/SAS) on the locked baseband.
+    # cond-gated: pure-SAM/non-SAM workloads skip the extra transforms.
+    need_sb = jnp.any(tuning.mode >= d.MODE_SAL)
+    coef_l = cplx_ops.from_numpy(params.sb_coef_l)
+    coef_u = cplx_ops.from_numpy(params.sb_coef_u)
+
+    def _sb_on():
+        vl, vu, sbt = fastfir.fastfir_block2(
+            params.fir, v_locked, state.sb_tail, coef_l, coef_u)
+        return 2.0 * vl.re, 2.0 * vu.re, sbt
+
+    def _sb_off():
+        zb = jnp.zeros_like(sam_audio)
+        return zb, zb, state.sb_tail
+
+    sb_l, sb_u, sb_tail = jax.lax.cond(need_sb, _sb_on, _sb_off)
 
     mode = tuning.mode[None, :]
+    # mono SAM lane: SAL -> lower sideband, SAU -> upper, SAS -> left
+    # (= LSB, `rx/wdsp/SAM_demod.cpp` MODE_SAS: audio = lsb)
+    sam_sel = jnp.where(
+        (mode == d.MODE_SAL) | (mode == d.MODE_SAS), sb_l,
+        jnp.where(mode == d.MODE_SAU, sb_u, sam_audio))
+
     audio = jnp.where(
         (mode == d.MODE_AM) | (mode == d.MODE_AMN), am_audio,
         jnp.where(mode == d.MODE_NBFM, fm_audio,
-                  jnp.where((mode >= d.MODE_SAM), sam_audio, ssb_audio)))
+                  jnp.where((mode >= d.MODE_SAM), sam_sel, ssb_audio)))
 
-    # --- FM squelch (only meaningful for NBFM; threshold gates) ---
+    # --- NR dispatch (`rx_sound.cpp:922-948`): LMS autonotch ->
+    # LMS denoiser -> (alternative) spectral NR, all runtime-gated ---
+    if params.enable_nr:
+        any_lms = jnp.any(tuning.nr_notch_on | tuning.nr_den_on)
+
+        def _lms_on():
+            return noise_ops.lms_chain_block(
+                params.lms_notch_p, params.lms_den_p, audio,
+                state.lms_notch, state.lms_den,
+                tuning.nr_notch_on, tuning.nr_den_on)
+
+        def _lms_off():
+            return audio, state.lms_notch, state.lms_den
+
+        audio, lms_notch_state, lms_den_state = jax.lax.cond(
+            any_lms, _lms_on, _lms_off)
+        any_spec = jnp.any(tuning.nr_on)
+
+        def _spec_on():
+            nr_audio, nrs = noise_ops.spectral_nr_block(
+                params.nr, audio, state.nr)
+            return jnp.where(tuning.nr_on[None, :], nr_audio, audio), nrs
+
+        def _spec_off():
+            return audio, state.nr
+
+        audio, nr_state = jax.lax.cond(any_spec, _spec_on, _spec_off)
+    else:
+        nr_state = state.nr
+        lms_notch_state, lms_den_state = state.lms_notch, state.lms_den
+
+    # --- squelch: NBFM uses the discriminator-noise squelch; every
+    # other mode uses the median-RSSI squelch (`rx_sound.cpp:951-987`).
     fm_thresh = jnp.where(tuning.mode == d.MODE_NBFM,
                           tuning.squelch_thresh, 0.0)
     audio, squelch_state = demod_ops.fm_squelch(audio, state.squelch,
                                                 fm_thresh)
-
-    # --- optional spectral NR ---
-    if params.enable_nr:
-        nr_audio, nr_state = noise_ops.spectral_nr_block(params.nr, audio,
-                                                         state.nr)
-        audio = jnp.where(tuning.nr_on[None, :], nr_audio, audio)
-    else:
-        nr_state = state.nr
+    rssi_thresh = jnp.where(tuning.mode == d.MODE_NBFM, 0.0,
+                            tuning.squelch_thresh)
+    audio, rssi_state = demod_ops.rssi_squelch(
+        audio, smeter_peak, state.rssi_sq, rssi_thresh)
 
     # --- de-emphasis: one-pole 75 us LPF (`rx_sound.cpp:898-908`) ---
     alpha = jnp.float32(1.0 - np.exp(-1.0 / (params.fs_out * 75e-6)))
@@ -284,18 +379,42 @@ def rx_block(params: RxParams, state: RxState, tuning: RxTuning,
 
     # --- overload mute (`rx_sound.cpp:989-1014`): hard-mute channels
     # whose peak exceeds the configured limit ---
-    audio = jnp.where((smeter_peak > tuning.mute_over_dbm)[None, :],
-                      0.0, audio)
+    over = (smeter_peak > tuning.mute_over_dbm)[None, :]
+    audio = jnp.where(over, 0.0, audio)
+
+    # --- stereo right lane (SAS): USB through the same gates (squelch
+    # open state + overload mute); NR/de-emphasis are mono-lane only,
+    # like the reference's stereo path bypassing the mono chain
+    # (`rx_sound.cpp:1047`) ---
+    gate_fm = squelch_state.open_
+    gate_rssi = (rssi_thresh <= 0.0) | rssi_state.open_
+    audio2 = jnp.where((gate_fm & gate_rssi)[None, :] & ~over, sb_u, 0.0)
+    audio2 = jnp.where(mode == d.MODE_SAS, audio2, audio)
 
     new_state = RxState(
-        ddc=new_ddc, fir_tail=fir_tail, agc=agc_state, dc=dc_state,
+        ddc=state.ddc,    # caller replaces with the advanced DDC carry
+        fir_tail=fir_tail, agc=agc_state, dc=dc_state,
         sam=sam_state, fm_last=fm_last, squelch=squelch_state,
-        nb_mavg=nb_mavg, nr=nr_state, smeter=smeter_level,
-        deemph=deemph_state,
+        rssi_sq=rssi_state, nb_mavg=nb_mavg, nr=nr_state,
+        lms_notch=lms_notch_state, lms_den=lms_den_state,
+        sb_tail=sb_tail, smeter=smeter_level, deemph=deemph_state,
     )
-    taps = RxTaps(audio=audio, iq_pre_fir=iq, iq_post_agc=zg,
-                  smeter_dbm=smeter_peak)
+    taps = RxTaps(audio=audio, audio2=audio2, iq_pre_fir=iq,
+                  iq_post_agc=zg, smeter_dbm=smeter_peak)
     return new_state, taps
+
+
+def rx_block(params: RxParams, state: RxState, tuning: RxTuning,
+             x_adc: jax.Array) -> tuple[RxState, RxTaps]:
+    """Process one ADC block through every channel.  jit-compiled once.
+
+    x_adc: (adc_block,) float32.
+    """
+    # --- DDC front half (MXU) ---
+    new_ddc, iq = _ddc(params, state, tuning, x_adc)
+    # --- audio-rate back half (shared with the sharded step) ---
+    new_state, taps = audio_back_half(params, state, tuning, iq)
+    return dataclasses.replace(new_state, ddc=new_ddc), taps
 
 
 def _ddc(params: RxParams, state: RxState, tuning: RxTuning,

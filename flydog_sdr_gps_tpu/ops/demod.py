@@ -166,11 +166,13 @@ def init_sam_state(num_channels: int) -> SamState:
     )
 
 
-def sam_demod(params: SamParams, z: Cplx, state: SamState,
-              stereo: bool = False
-              ) -> tuple[jax.Array, SamState]:
-    """Carrier-locked AM demod.  Returns audio (N, C) float32 (or
-    (N, 2, C) when ``stereo`` for SAS L/R) and new state.
+def sam_demod(params: SamParams, z: Cplx, state: SamState
+              ) -> tuple[jax.Array, Cplx, SamState]:
+    """Carrier-locked AM demod.
+
+    Returns (audio (N, C) float32 — the DC-blocked in-phase envelope,
+    the plain SAM output), the carrier-locked baseband ``v`` (N, C)
+    for downstream sideband selection (SAL/SAU/SAS), and new state.
 
     Per-sample PLL advanced by `lax.scan`; all channels per step.
     """
@@ -191,14 +193,61 @@ def sam_demod(params: SamParams, z: Cplx, state: SamState,
         return (phase2, freq2), v
 
     (phase, freq), v = lax.scan(step, (state.phase, state.freq), z)
-    i, q = v.re, v.im
-    if stereo:
-        # SAS: L/R from sideband sum/difference after carrier lock
-        left, dc1 = iir.dc_blocker(i - q, state.dc)
-        right, _ = iir.dc_blocker(i + q, state.dc)
-        audio = jnp.stack([left, right], axis=1).astype(jnp.float32)
-        new_dc = dc1
-    else:
-        audio, new_dc = iir.dc_blocker(i, state.dc)
-        audio = audio.astype(jnp.float32)
-    return audio, SamState(phase=phase, freq=freq, dc=new_dc)
+    audio, new_dc = iir.dc_blocker(v.re, state.dc)
+    return (audio.astype(jnp.float32), v,
+            SamState(phase=phase, freq=freq, dc=new_dc))
+
+
+# ---------------------------------------------------------------------------
+# all-mode RSSI squelch (`rx/rx_sound.cpp:951-987`)
+# ---------------------------------------------------------------------------
+
+N_RSSI = 65                     # rx/rx_sound.cpp:291
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RssiSquelchState:
+    ring: jax.Array    # (N_RSSI, C) float32 RSSI noise-floor samples
+    count: jax.Array   # () int32 samples collected
+    open_: jax.Array   # (C,) bool gate state
+    tail: jax.Array    # (C,) int32 tail countdown (blocks)
+
+
+def init_rssi_squelch(num_channels: int) -> RssiSquelchState:
+    return RssiSquelchState(
+        ring=jnp.zeros((N_RSSI, num_channels), jnp.float32),
+        count=jnp.int32(0),
+        open_=jnp.zeros((num_channels,), bool),
+        tail=jnp.zeros((num_channels,), jnp.int32),
+    )
+
+
+def rssi_squelch(audio: jax.Array, smeter_dbm: jax.Array,
+                 state: RssiSquelchState, squelch_db: jax.Array,
+                 tail_blocks: int = 12
+                 ) -> tuple[jax.Array, RssiSquelchState]:
+    """Non-NBFM squelch: the noise floor is the median of recent
+    block RSSI values (collected while the gate is closed); the gate
+    opens at median + squelch_db with 6 dB hysteresis and a tail
+    (`rx/rx_sound.cpp:951-987`).  squelch_db <= 0 disables (open).
+    """
+    active = squelch_db > 0.0
+    # collect the floor only while closed (the reference freezes the
+    # ring while the squelch is open so signal doesn't pollute it)
+    idx = state.count % N_RSSI
+    newrow = jnp.where(state.open_ & active, state.ring[idx],
+                       smeter_dbm)
+    ring = state.ring.at[idx].set(newrow)
+    count = state.count + 1
+    filled = count >= N_RSSI
+    med = jnp.median(ring, axis=0)
+    thresh = med + squelch_db - jnp.where(state.open_, 6.0, 0.0)
+    green = smeter_dbm >= thresh
+    tail = jnp.where(green, tail_blocks,
+                     jnp.maximum(state.tail - 1, 0))
+    open_now = filled & (green | (tail > 0))
+    pass_ = ~active | open_now
+    y = jnp.where(pass_[None, :], audio, 0.0)
+    return y, RssiSquelchState(ring=ring, count=count,
+                               open_=open_now & active, tail=tail)

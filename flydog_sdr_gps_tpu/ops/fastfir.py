@@ -97,3 +97,28 @@ def fastfir_block(plan: FastFIRPlan, x: Cplx, tail: Cplx,
     yt = y.T                                           # (fft_size, C)
     new_tail = buf[plan.hop:]
     return yt[plan.ntaps - 1:], new_tail
+
+
+def fastfir_block2(plan: FastFIRPlan, x: Cplx, tail: Cplx,
+                   coef_a: Cplx, coef_b: Cplx
+                   ) -> tuple[Cplx, Cplx, Cplx]:
+    """Like :func:`fastfir_block` but applies TWO coefficient sets to
+    the same input, sharing the forward FFT (1 FFT + 2 IFFTs).
+
+    Used for sideband separation of the SAM-locked baseband (SAL/SAU/
+    SAS): coef_a = lower-sideband mask, coef_b = upper-sideband mask
+    (the reference does this with a +-45 deg allpass Hilbert pair,
+    `rx/wdsp/SAM_demod.cpp:85-105`; an overlap-save one-sided filter is
+    the frequency-domain equivalent with better rejection).
+
+    coef_a/coef_b: (fft_size,) or (fft_size, C).
+    Returns (y_a (hop, C), y_b (hop, C), new_tail).
+    """
+    buf = cplx_ops.concatenate([tail, x], axis=0)      # (fft_size, C)
+    spec = fft_ops.fft(buf.T)                          # (C, fft_size)
+    ca = coef_a if coef_a.re.ndim == 1 else coef_a.T
+    cb = coef_b if coef_b.re.ndim == 1 else coef_b.T
+    ya = fft_ops.ifft(spec * ca).T                     # (fft_size, C)
+    yb = fft_ops.ifft(spec * cb).T
+    new_tail = buf[plan.hop:]
+    return ya[plan.ntaps - 1:], yb[plan.ntaps - 1:], new_tail

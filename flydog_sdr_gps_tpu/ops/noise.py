@@ -261,6 +261,45 @@ def lms_block(params: LmsParams, x: jax.Array, state: LmsState
     return y.astype(x.dtype), LmsState(weights=w, line=line)
 
 
+def lms_chain_block(notch_p: LmsParams, den_p: LmsParams,
+                    x: jax.Array, st_notch: LmsState, st_den: LmsState,
+                    en_notch: jax.Array, en_den: jax.Array
+                    ) -> tuple[jax.Array, LmsState, LmsState]:
+    """Autonotch -> denoiser chain in ONE scan, per-channel gated.
+
+    The reference orders them "so denoiser can cleanup residual noise
+    from autonotch" (`rx/rx_sound.cpp:933-943`); both NR_WDSP's ANR
+    and NR_ORIG's lms.cpp are this structure with different constants.
+    en_notch/en_den: (C,) bool enables; disabled stages pass through
+    and stop adapting.
+    """
+    mu_n, dc_n = jnp.float32(notch_p.mu), jnp.float32(notch_p.decay)
+    mu_d, dc_d = jnp.float32(den_p.mu), jnp.float32(den_p.decay)
+
+    def stage(w, line, xn, mu, decay, en, notch):
+        ref = line[: w.shape[0]]
+        pred = jnp.sum(w * ref, axis=0)
+        err = xn - pred
+        norm = jnp.sum(ref * ref, axis=0) + 1e-3
+        w2 = decay * w + (mu / norm) * err[None, :] * ref
+        w = jnp.where(en[None, :], w2, w)
+        line = jnp.concatenate([line[1:], xn[None, :]], axis=0)
+        out = err if notch else pred
+        return w, line, jnp.where(en, out, xn)
+
+    def step(carry, xn):
+        wn, ln, wd, ld = carry
+        wn, ln, y1 = stage(wn, ln, xn, mu_n, dc_n, en_notch, True)
+        wd, ld, y2 = stage(wd, ld, y1, mu_d, dc_d, en_den, False)
+        return (wn, ln, wd, ld), y2
+
+    (wn, ln, wd, ld), y = lax.scan(
+        step, (st_notch.weights, st_notch.line,
+               st_den.weights, st_den.line), x)
+    return (y.astype(x.dtype), LmsState(weights=wn, line=ln),
+            LmsState(weights=wd, line=ld))
+
+
 # ---------------------------------------------------------------------------
 # NB_WILD — interpolating impulse blanker (`rx/Teensy/NB_Wild.cpp`)
 # ---------------------------------------------------------------------------

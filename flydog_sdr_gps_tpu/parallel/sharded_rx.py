@@ -27,9 +27,7 @@ Requirements: C % (K*T) == 0, audio_block % T == 0, and
 from __future__ import annotations
 
 import dataclasses
-import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -41,11 +39,8 @@ from ..ops import agc as agc_ops
 from ..ops import channelizer as chz
 from ..ops import cplx as cplx_ops
 from ..ops import demod as demod_ops
-from ..ops import fastfir
 from ..ops import nco
 from ..ops import noise as noise_ops
-from ..ops import iir as iir_ops
-from ..ops import smeter as smeter_ops
 from ..ops.cplx import Cplx
 
 
@@ -66,11 +61,18 @@ def _state_specs(params: rx.RxParams) -> rx.RxState:
         fm_last=Cplx(P(cc), P(cc)),
         squelch=demod_ops.SquelchState(noise=P(cc), open_=P(cc),
                                        tail=P(cc)),
+        rssi_sq=demod_ops.RssiSquelchState(
+            ring=P(None, cc), count=P(), open_=P(cc), tail=P(cc)),
         nb_mavg=P(cc),
         nr=noise_ops.SpectralNRState(
             in_tail=P(None, cc), out_tail=P(None, cc),
             psd_smooth=P(None, cc), min_ring=P(None, None, cc),
             xhat2=P(None, cc)),
+        lms_notch=noise_ops.LmsState(weights=P(None, cc),
+                                     line=P(None, cc)),
+        lms_den=noise_ops.LmsState(weights=P(None, cc),
+                                   line=P(None, cc)),
+        sb_tail=Cplx(P(None, cc), P(None, cc)),
         smeter=P(cc),
         deemph=P(cc),
     )
@@ -84,7 +86,8 @@ def _tuning_specs() -> rx.RxTuning:
         pb_coef=Cplx(P(None, cc), P(None, cc)),
         mode=P(cc), manual_gain_db=P(cc), squelch_thresh=P(cc),
         nb_on=P(cc), nb_wild=P(cc), deemph_on=P(cc),
-        mute_over_dbm=P(cc), nr_on=P(cc), fm_deviation=P(),
+        mute_over_dbm=P(cc), nr_on=P(cc), nr_notch_on=P(cc),
+        nr_den_on=P(cc), fm_deviation=P(),
     )
 
 
@@ -92,6 +95,7 @@ def _taps_specs() -> rx.RxTaps:
     cc = ("chan", "time")
     return rx.RxTaps(
         audio=P(None, cc),
+        audio2=P(None, cc),
         iq_pre_fir=Cplx(P(None, cc), P(None, cc)),
         iq_post_agc=Cplx(P(None, cc), P(None, cc)),
         smeter_dbm=P(cc),
@@ -210,54 +214,7 @@ def make_sharded_rx_step(params: rx.RxParams, mesh: Mesh):
 def _back_half(params: rx.RxParams, state: rx.RxState,
                tuning: rx.RxTuning, iq: Cplx
                ) -> tuple[rx.RxState, rx.RxTaps]:
-    """The audio-rate chain on the local channel group (pure, local)."""
-    d = demod_ops
-    nb_std, nb_mavg = noise_ops.noise_blanker(iq, state.nb_mavg)
-    any_wild = jnp.any(tuning.nb_wild & tuning.nb_on)
-    nb_iq = jax.lax.cond(
-        any_wild,
-        lambda: cplx_ops.where(
-            tuning.nb_wild[None, :],
-            noise_ops.noise_blanker_wild(iq, state.nb_mavg)[0], nb_std),
-        lambda: nb_std)
-    iq_nb = cplx_ops.where(tuning.nb_on[None, :], nb_iq, iq)
-    z, fir_tail = fastfir.fastfir_block(params.fir, iq_nb, state.fir_tail,
-                                        tuning.pb_coef)
-    _, smeter_peak, smeter_level = smeter_ops.smeter_block(z, state.smeter)
-    zg, agc_state = agc_ops.agc_block(params.agc, z, state.agc,
-                                      tuning.manual_gain_db)
-    am_audio, dc_state = demod_ops.am_demod(zg, state.dc)
-    ssb_audio = demod_ops.ssb_demod(zg)
-    fm_audio, fm_last = demod_ops.fm_demod(
-        zg, state.fm_last, params.fs_out, tuning.fm_deviation)
-    sam_audio, sam_state = demod_ops.sam_demod(params.sam, zg, state.sam)
-    mode = tuning.mode[None, :]
-    audio = jnp.where(
-        (mode == d.MODE_AM) | (mode == d.MODE_AMN), am_audio,
-        jnp.where(mode == d.MODE_NBFM, fm_audio,
-                  jnp.where((mode >= d.MODE_SAM), sam_audio, ssb_audio)))
-    fm_thresh = jnp.where(tuning.mode == d.MODE_NBFM,
-                          tuning.squelch_thresh, 0.0)
-    audio, squelch_state = demod_ops.fm_squelch(audio, state.squelch,
-                                                fm_thresh)
-    if params.enable_nr:
-        nr_audio, nr_state = noise_ops.spectral_nr_block(params.nr, audio,
-                                                         state.nr)
-        audio = jnp.where(tuning.nr_on[None, :], nr_audio, audio)
-    else:
-        nr_state = state.nr
-    alpha = jnp.float32(1.0 - np.exp(-1.0 / (params.fs_out * 75e-6)))
-    de_audio = iir_ops.one_pole_smoother(audio, alpha, state.deemph)
-    audio = jnp.where(tuning.deemph_on[None, :], de_audio, audio)
-    deemph_state = jnp.where(tuning.deemph_on, de_audio[-1], state.deemph)
-    audio = jnp.where((smeter_peak > tuning.mute_over_dbm)[None, :],
-                      0.0, audio)
-    new_state = rx.RxState(
-        ddc=state.ddc,  # replaced by caller
-        fir_tail=fir_tail, agc=agc_state, dc=dc_state, sam=sam_state,
-        fm_last=fm_last, squelch=squelch_state, nb_mavg=nb_mavg,
-        nr=nr_state, smeter=smeter_level, deemph=deemph_state,
-    )
-    taps = rx.RxTaps(audio=audio, iq_pre_fir=iq, iq_post_agc=zg,
-                     smeter_dbm=smeter_peak)
-    return new_state, taps
+    """The audio-rate chain on the local channel group — exactly the
+    single-device chain (`rx.audio_back_half`) over local shards; every
+    op in it is channel-local so no collectives are needed."""
+    return rx.audio_back_half(params, state, tuning, iq)

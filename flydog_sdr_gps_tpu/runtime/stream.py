@@ -48,7 +48,9 @@ class ChannelCtl:
     nb_wild: bool = False
     deemph_on: bool = False
     mute_over_dbm: float = 20.0
-    nr_on: bool = False
+    nr_on: bool = False             # spectral NR (NR_SPECTRAL)
+    nr_notch_on: bool = False       # LMS autonotch (NR_ORIG/NR_WDSP)
+    nr_den_on: bool = False         # LMS denoiser
     in_use: bool = False
 
 
@@ -119,7 +121,9 @@ class StreamEngine:
             deemph_on=t.deemph_on.at[ch].set(ctl.deemph_on),
             mute_over_dbm=t.mute_over_dbm.at[ch].set(
                 ctl.mute_over_dbm),
-            nr_on=t.nr_on.at[ch].set(ctl.nr_on))
+            nr_on=t.nr_on.at[ch].set(ctl.nr_on),
+            nr_notch_on=t.nr_notch_on.at[ch].set(ctl.nr_notch_on),
+            nr_den_on=t.nr_den_on.at[ch].set(ctl.nr_den_on))
 
     def retune_all(self, adc_clock_corrected: float) -> None:
         """Clock-discipline feedback: rebuild every NCO against the
@@ -190,7 +194,8 @@ class StreamEngine:
                            agc_on=c.agc_on,
                            manual_gain_db=c.manual_gain_db,
                            squelch=c.squelch, nb_on=c.nb_on,
-                           nr_on=c.nr_on)
+                           nr_on=c.nr_on, nr_notch_on=c.nr_notch_on,
+                           nr_den_on=c.nr_den_on)
             # force-apply (set_channel skips unchanged mirrors)
             old = self.ctl[ch]
             self.ctl[ch] = ChannelCtl()

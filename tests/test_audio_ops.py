@@ -187,7 +187,7 @@ def test_sam_pll_locks_and_demods():
     z = ((1 + mod) * np.exp(2j * np.pi * carrier_off * t)
          ).astype(np.complex64)
     st = demod.init_sam_state(1)
-    audio, st = demod.sam_demod(params, cplx.from_numpy(z[:, None]), st)
+    audio, _, st = demod.sam_demod(params, cplx.from_numpy(z[:, None]), st)
     # locked: recovered frequency ~= offset
     f_locked = float(st.freq[0]) * FS / (2 * np.pi)
     assert abs(f_locked - carrier_off) < 10, f_locked

@@ -509,7 +509,7 @@ def test_drm_via_extension_iq_tap():
         a = jnp.asarray(np.real(seg)[:, None].astype(np.float32))
         b = jnp.asarray(np.imag(seg)[:, None].astype(np.float32))
         z = Cplx(a, b)
-        taps = RxTaps(audio=a, iq_pre_fir=z, iq_post_agc=z,
+        taps = RxTaps(audio=a, audio2=a, iq_pre_fir=z, iq_post_agc=z,
                       smeter_dbm=jnp.asarray([-50.0], jnp.float32))
         tags.extend(t for t, _ in e.process_block(taps))
     assert "drm_fac" in tags and "drm_sdc" in tags and "drm_msc" in tags

@@ -22,7 +22,7 @@ def make_taps(audio_ch0: np.ndarray) -> RxTaps:
     """Wrap a 1-channel audio array into an RxTaps pytree."""
     a = jnp.asarray(audio_ch0[:, None].astype(np.float32))
     z = Cplx(a, jnp.zeros_like(a))
-    return RxTaps(audio=a, iq_pre_fir=z, iq_post_agc=z,
+    return RxTaps(audio=a, audio2=a, iq_pre_fir=z, iq_post_agc=z,
                   smeter_dbm=jnp.asarray([-50.0], jnp.float32))
 
 
