@@ -39,6 +39,7 @@ from ..ops import adpcm, demod
 from .. import extensions as ext_mod
 from ..utils.log import lprintf
 from ..utils.trace import ev, EV_SND, EV_WF, EV_WS
+from ..utils import dx as dx_mod
 from . import packets
 from . import wf_service
 
@@ -57,6 +58,8 @@ class Connection:
         self.compression = True
         self.little_endian = False
         self.iq_mode = False
+        self.stereo_mode = False      # SAS: L/R interleaved like IQ
+        self.nr_algo = 0              # NR_OFF/WDSP/ORIG/SPECTRAL
         self.snd_seq = 0
         self.wf_seq = 0
         self.adpcm_snd = adpcm.AdpcmState()
@@ -75,14 +78,31 @@ class Connection:
         self.ext = None
         self.ext_ws = None
         self.camping = False          # MON stream: listen-only share
-        self.last_active = time.time()
+        self.ip = ""
+        self.geo = ""                 # "SET geoloc=" self-report
+        self.conn_start = time.time()
+        self.last_keepalive = time.time()   # any inbound traffic
+        self.last_active = time.time()      # user ACTIONS (tune etc.)
+        self.tlimit_exempt = False    # password-holders are exempt
+        self.kick = False             # policy loop marks, ws loop closes
 
     # -- commands (rx/rx_cmd.cpp + rx_sound_cmd.cpp subset) -------------
+    # SETs that count as user interaction for the inactivity timeout
+    # (the reference resets `last_tune_time` on tune-class commands,
+    # `rx/rx_sound_cmd.cpp`; keepalives are automatic and do NOT count)
+    _ACTIVE_CMDS = frozenset((
+        "mod", "agc", "squelch", "nb", "nr", "de_emp", "zoom",
+        "wf_speed", "wf", "interp", "aper", "ext_switch_to_client",
+        "inactivity_ack", "compression"))
+
     async def handle_set(self, text: str, which: str) -> None:
         p = packets.parse_set(text)
         cmd = p.get("_cmd")
         eng = self.server.engine
         ch = self.rx_chan
+        self.last_keepalive = time.time()
+        if cmd in self._ACTIVE_CMDS:
+            self.last_active = time.time()
         if cmd == "auth":
             pwd = p.get("p", "")
             ok = self.server.check_password(p.get("t", "kiwi"), pwd)
@@ -90,6 +110,11 @@ class Connection:
                 await self.send_msg(which, badp=1)
                 return
             self.authed = True
+            # supplying a matching non-empty password exempts the
+            # connection from time limits (tlimit_exempt_pwd semantics,
+            # `rx/rx_cmd.cpp:396-413`)
+            if pwd:
+                self.tlimit_exempt = True
             await self.send_msg(which, badp=0)
             if which == "SND":
                 await self.send_initial_snd_msgs()
@@ -105,6 +130,7 @@ class Connection:
             self.freq_khz = freq_khz
             self.mode = mode
             self.iq_mode = mode in ("iq", "drm")
+            self.stereo_mode = mode == "sas"
             eng.set_channel(
                 ch, freq_hz=freq_khz * 1e3,
                 mode=demod.MODE_NAMES.get(mode, demod.MODE_USB),
@@ -133,12 +159,94 @@ class Connection:
                 if "algo" in p:      # 1=NB_STD, 2=NB_WILD (ref numbering)
                     kw["nb_wild"] = p.get("algo") == "2"
                 eng.set_channel(ch, **kw)
+        elif cmd == "nr":
+            # "SET nr algo=%d" / "SET nr type=%d en=%d"
+            # (`rx/rx_sound_cmd.cpp:464-531`; algo 0=off 1=WDSP 2=ORIG
+            # 3=SPECTRAL, type 0=denoise 1=autonotch,
+            # `rx/rx_noise.h:9-10`).  WDSP/ORIG map to the LMS chain;
+            # SPECTRAL's denoiser is the MMSE-LSA spectral stage.
+            if "algo" in p:
+                self.nr_algo = int(p["algo"])
+                if ch is not None:      # algo change clears enables
+                    eng.set_channel(ch, nr_on=False, nr_notch_on=False,
+                                    nr_den_on=False)
+            elif "type" in p and "en" in p and ch is not None:
+                en = p.get("en", "0") in ("1", "true")
+                if int(p["type"]) == 1:          # NR_AUTONOTCH
+                    eng.set_channel(ch, nr_notch_on=en)
+                elif self.nr_algo == 3:          # NR_SPECTRAL denoise
+                    eng.set_channel(ch, nr_on=en)
+                else:                            # LMS denoise
+                    eng.set_channel(ch, nr_den_on=en)
         elif cmd == "zoom":
             self.zoom = int(p.get("zoom", 0))
             self.start_bin = int(float(p.get("start", 0)))
             self._rebuild_wf()
         elif cmd == "keepalive":
-            self.last_active = time.time()
+            pass                      # last_keepalive already refreshed
+        elif cmd == "geoloc":
+            # "SET geoloc=<encoded>" — client self-reported location,
+            # surfaced in /users (`rx/rx_cmd.cpp:1885`)
+            from urllib.parse import unquote
+            self.geo = unquote(str(p.get("geoloc", "")))[:127]
+        elif cmd == "inactivity_ack":
+            pass                      # reset happened via _ACTIVE_CMDS
+        elif cmd == "pref_export":
+            # "SET pref_export id=<id> pref=<json>" — store per-id user
+            # preferences server-side (`rx/rx_cmd.cpp:1963-1985`)
+            pid = str(p.get("id", ""))[:64]
+            if pid and "pref" in p:
+                self.server.prefs[pid] = str(p["pref"])[:4096]
+        elif cmd == "pref_import":
+            pid = str(p.get("id", ""))[:64]
+            pref = self.server.prefs.get(pid)
+            await self.send_msg(
+                which, pref_import=(f"{pid},{pref}" if pref is not None
+                                    else "null"))
+        elif cmd == "MARKER":
+            # DX-label span query issued on every zoom/pan
+            # (`rx/rx_cmd.cpp` CMD_MARKER; reply "MSG mkr=[...]")
+            try:
+                lo = float(p.get("min", 0.0))
+                hi = float(p.get("max", 30e3))
+            except ValueError:
+                return
+            rows = [{"t": 4}]
+            for gid, lab in self.server.dx.in_range_gid(lo, hi):
+                rows.append({
+                    "g": gid, "f": round(lab.freq_khz, 3),
+                    "lo": lab.low_cut, "hi": lab.high_cut,
+                    "o": lab.offset,
+                    "fl": demod.MODE_NAMES.get(lab.mode, 0),
+                    "i": lab.ident, "n": lab.notes})
+            await self.send_msg(which, mkr=json.dumps(
+                rows, separators=(",", ":")))
+        elif cmd == "DX_UPD":
+            # label add/update/delete from the UI
+            # (`rx/rx_cmd.cpp:885-905`; f=-1 deletes, g=-1 adds)
+            if not self.authed:
+                return
+            from urllib.parse import unquote
+            try:
+                gid = int(p.get("g", -1))
+                f = float(p.get("f", -1))
+            except ValueError:
+                return
+            if f < 0:
+                self.server.dx.delete_gid(gid)
+            else:
+                lab = dx_mod.DxLabel(
+                    freq_khz=f,
+                    mode=demod.MODE_IDS.get(int(p.get("fl", 0) or 0),
+                                            "am"),
+                    ident=unquote(str(p.get("i", "")))[:255],
+                    notes=unquote(str(p.get("n", "")))[:255],
+                    low_cut=int(p.get("lo", 0) or 0),
+                    high_cut=int(p.get("hi", 0) or 0),
+                    offset=int(p.get("o", 0) or 0))
+                self.server.dx.update_gid(gid, lab)
+            self.server.dx.save()
+            await self.send_msg(which, request_dx_update=1)
         elif cmd in ("wf_speed", "wf"):
             if "speed" in p:
                 self.wf_speed = max(0, min(int(p["speed"]),
@@ -225,7 +333,8 @@ class Connection:
     # -- per-block emitters ---------------------------------------------
     async def emit_snd_np(self, audio_np: np.ndarray,
                           iq_np: tuple | None, smeter: float,
-                          adc_ovfl: bool = False) -> None:
+                          adc_ovfl: bool = False,
+                          audio2_np: np.ndarray | None = None) -> None:
         """Send one SND packet from the block's (already fetched) host
         copies — one device fetch serves every connection."""
         if self.snd_ws is None or self.snd_ws.closed or \
@@ -234,7 +343,14 @@ class Connection:
         ch = self.rx_chan
         flags = packets.SND_FLAG_ADC_OVFL if adc_ovfl else 0
         eng = self.server.engine
-        if self.iq_mode and iq_np is not None:
+        if self.stereo_mode and audio2_np is not None:
+            # SAS stereo rides the IQ wire format: L/R interleaved s16,
+            # compression off (`rx/rx_sound.cpp:1047` pushes stereo back
+            # onto the IQ buffer)
+            payload = packets.iq_payload_s16(
+                audio_np[:, ch], audio2_np[:, ch], self.little_endian)
+            pkt = packets.snd_packet(flags, self.snd_seq, smeter, payload)
+        elif self.iq_mode and iq_np is not None:
             re = iq_np[0][:, ch]
             im = iq_np[1][:, ch]
             payload = packets.iq_payload_s16(re, im, self.little_endian)
@@ -327,11 +443,27 @@ class KiwiServer:
     def __init__(self, engine, cfg=None, port: int = 8073,
                  ui_srate: float = 30.0e6, wf_fps: int = 23,
                  realtime: bool = False, wf_enabled: bool = True,
-                 wf_chans: int = 4, gps=None):
+                 wf_chans: int = 4, gps=None, dx_path: str | None = None):
         if web is None:
             raise RuntimeError("aiohttp not available")
         self.engine = engine
         self.cfg = cfg
+        # DX label database served over "SET MARKER" (`init/dx.cpp`)
+        self.dx = dx_mod.DxDatabase(
+            dx_path or (cfg.string("dx_path", "") or None
+                        if cfg else None))
+        self.prefs: dict[str, str] = {}   # pref_export/import store
+        # connection policy (`rx/rx_sound.cpp:382-414` keepalive kick;
+        # `rx/rx_cmd.cpp` CMD_AUTH inactivity/ip limits); 0 = disabled
+        self.keepalive_sec = (cfg.int("keepalive_sec", 60)
+                              if cfg else 60)
+        self.inactivity_min = (cfg.int("inactivity_timeout_mins", 0)
+                               if cfg else 0)
+        self.tlimit_min = (cfg.int("ip_limit_mins", 0) if cfg else 0)
+        self.max_conns_per_ip = (cfg.int("max_conns_per_ip", 0)
+                                 if cfg else 0)
+        self.kicks = 0
+        self.policy_period = 5.0
         # GPS subsystem (a runtime.gps_service.GpsReceiver): searches,
         # tracks and solves in the background; clock corrections retune
         # every DDC NCO (`rx/rx_sound.cpp:334-344`)
@@ -434,12 +566,25 @@ class KiwiServer:
         if conn is None:
             conn = Connection(self, ts)
             self.conns[ts] = conn
+        conn.ip = peer
         if stream == "EXT":
             conn.ext_ws = ws
             if conn.rx_chan is None:
                 self.claim_channel(conn)
         elif stream == "SND":
             conn.snd_ws = ws
+            # per-IP channel limit (CMD_AUTH "dup ip" policy,
+            # `rx/rx_cmd.cpp:660-700`): refuse when this IP already
+            # holds the configured number of rx channels
+            if self.max_conns_per_ip and conn.rx_chan is None:
+                held = sum(1 for c in self.conns.values()
+                           if c is not conn and c.ip == peer
+                           and c.rx_chan is not None and not c.camping)
+                if held >= self.max_conns_per_ip:
+                    await ws.send_bytes(packets.msg(too_busy=1))
+                    await ws.close()
+                    self.release(conn)
+                    return ws
             if conn.rx_chan is None and self.claim_channel(conn) is None:
                 await ws.send_bytes(packets.msg(too_busy=1))
                 await ws.close()
@@ -563,6 +708,7 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         for c in self.conns.values():
             if c.rx_chan is not None:
                 out.append({"i": c.rx_chan, "n": c.ident,
+                            "g": c.geo,
                             "f": c.freq_khz, "m": c.mode,
                             "t": int(time.time() - c.last_active)})
         return web.Response(text=json.dumps(out),
@@ -672,12 +818,14 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             # ~50 ms latency per round trip, so per-connection fetches
             # would blow the 42.7 ms real-time budget
             need_iq = any(c.iq_mode for c in self.conns.values())
+            need_st = any(c.stereo_mode for c in self.conns.values())
             import jax
             peak = (jnp.max(jnp.abs(self.engine._last_x))
                     if self.engine._last_x is not None else jnp.float32(0))
             fetch = (taps.audio, taps.smeter_dbm, peak) + (
                 (taps.iq_post_agc.re, taps.iq_post_agc.im)
-                if need_iq else ())
+                if need_iq else ()) + (
+                (taps.audio2,) if need_st else ())
             got = await loop.run_in_executor(None, jax.device_get, fetch)
             audio_np, smeter = got[0], got[1]
             # ADC overflow: input at/over full scale (the reference
@@ -687,6 +835,7 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             if adc_ovfl:
                 self.adc_ov_count += 1
             iq_np = (got[3], got[4]) if need_iq else None
+            audio2_np = got[-1] if need_st else None
             # ONE shared waterfall ingest per block serves every
             # attached connection (reference: <=4 shared WF DDCs)
             if self.wf_enabled and any(
@@ -702,7 +851,7 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                         await conn.emit_snd_np(
                             audio_np, iq_np,
                             float(smeter[conn.rx_chan]),
-                            adc_ovfl=adc_ovfl)
+                            adc_ovfl=adc_ovfl, audio2_np=audio2_np)
                     if conn.authed and conn.wf_ws is not None:
                         if not self.wf_enabled:
                             if conn.rx_chan is not None:
@@ -727,12 +876,56 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             else:
                 await asyncio.sleep(0)
 
+    async def kick_conn(self, conn: Connection, reason: str) -> None:
+        """Enforced disconnect: notify, close sockets, free the channel
+        (`rx/rx_sound.cpp:382-414` kick path)."""
+        conn.kick = True
+        self.kicks += 1
+        lprintf("KICK ts=%s ip=%s: %s", conn.ts, conn.ip, reason)
+        for ws in (conn.snd_ws, conn.wf_ws, conn.ext_ws):
+            if ws is not None and not ws.closed:
+                try:
+                    if reason == "inactivity":
+                        await ws.send_bytes(packets.msg(
+                            inactivity_timeout=1))
+                    await ws.close()
+                except (ConnectionResetError, RuntimeError):
+                    pass
+        self.release(conn)
+
+    async def policy_loop(self, period: float = 5.0) -> None:
+        """Connection-policy enforcement: keepalive expiry, inactivity
+        timeout, total time limit (`rx/rx_sound.cpp:382-414`,
+        `rx/rx_waterfall.cpp:700-721`, CMD_AUTH tlimit semantics)."""
+        while not self._stop.is_set():
+            now = time.time()
+            for conn in list(self.conns.values()):
+                if conn.kick:
+                    continue
+                if (self.keepalive_sec and
+                        now - conn.last_keepalive > self.keepalive_sec):
+                    await self.kick_conn(conn, "keepalive expired")
+                elif (self.inactivity_min and not conn.tlimit_exempt
+                      and conn.snd_ws is not None
+                      and now - conn.last_active >
+                      self.inactivity_min * 60):
+                    await self.kick_conn(conn, "inactivity")
+                elif (self.tlimit_min and not conn.tlimit_exempt
+                      and now - conn.conn_start > self.tlimit_min * 60):
+                    await self.kick_conn(conn, "time limit")
+            try:
+                await asyncio.wait_for(self._stop.wait(), period)
+            except asyncio.TimeoutError:
+                pass
+
     async def start(self):
         runner = web.AppRunner(self.app)
         await runner.setup()
         site = web.TCPSite(runner, "0.0.0.0", self.port)
         await site.start()
         self._block_task = asyncio.create_task(self.block_loop())
+        self._policy_task = asyncio.create_task(
+            self.policy_loop(self.policy_period))
         self._gps_task = (asyncio.create_task(self.gps.run())
                           if self.gps is not None else None)
         lprintf("KiwiServer listening on :%d", self.port)
@@ -741,6 +934,8 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
     async def stop(self):
         self._stop.set()
         self._block_task.cancel()
+        if getattr(self, "_policy_task", None) is not None:
+            self._policy_task.cancel()
         if self.gps is not None:
             self.gps.stop()
             if self._gps_task is not None:

@@ -36,6 +36,12 @@ PAGE = r"""<!doctype html>
  #smeter > div { height:100%; background:linear-gradient(90deg,#2a6,
            #ff0,#f33); width:0%; border-radius:3px; }
  #stat { font-size:12px; color:#888; margin-top:6px; }
+ #labels { position:relative; width:1024px; height:18px;
+           background:#181818; overflow:hidden; }
+ #labels span { position:absolute; top:1px; font-size:11px;
+           color:#0cf; cursor:pointer; white-space:nowrap;
+           border-left:1px solid #0cf; padding-left:2px; }
+ #labels span:hover { color:#fff; background:#333; }
 </style></head><body>
 <h2>__NAME__ — TPU SDR</h2>
 <div id="bar">
@@ -51,6 +57,7 @@ PAGE = r"""<!doctype html>
  <span id="smeter_db">-127 dBm</span>
  ext <select id="ext"><option value="">off</option></select>
 </div>
+<div id="labels"></div>
 <canvas id="spec" width="1024" height="80"></canvas>
 <canvas id="wf" width="1024" height="360"></canvas>
 <pre id="extout" style="display:none; background:#000; max-height:140px;
@@ -102,6 +109,38 @@ function retuneWf() {
   const start = (cf - span / 2) / HZ_PER_START;
   setMsg(wf_ws, "zoom=" + zoom + " start=" + start.toFixed(0));
   wfLeft = cf - span / 2; wfSpan = span;
+  // DX labels for the new span (reference: dx.js MARKER query)
+  setMsg(wf_ws, "MARKER db=0 min=" + (wfLeft/1000).toFixed(3) +
+         " max=" + ((wfLeft+wfSpan)/1000).toFixed(3) +
+         " zoom=" + zoom + " width=1024");
+}
+
+const MODE_BY_ID = ["am","amn","usb","lsb","cw","cwn","nbfm","iq",
+                    "drm","sam","sal","sau","sas"];
+function renderLabels(rows) {
+  const box = document.getElementById("labels");
+  box.textContent = "";
+  rows.forEach((r) => {
+    if (!("f" in r)) return;            // skip the type-tag element
+    const x = (r.f * 1000 - wfLeft) / wfSpan * 1024;
+    if (x < 0 || x >= 1024) return;
+    const el = document.createElement("span");
+    el.style.left = x.toFixed(0) + "px";
+    el.textContent = r.i || r.f.toFixed(1);
+    if (r.n) el.title = r.n;
+    el.onclick = () => {
+      freq_khz = r.f;
+      const m = MODE_BY_ID[r.fl] || mode;
+      if (m !== mode && PB[m]) {
+        mode = m;
+        document.querySelectorAll("#modes button").forEach(
+            (b) => b.classList.toggle("on", b.id === "mode_" + m));
+      }
+      document.getElementById("freq").value = freq_khz.toFixed(2);
+      retune();
+    };
+    box.appendChild(el);
+  });
 }
 let wfLeft = 0, wfSpan = UI_SRATE;
 
@@ -172,6 +211,14 @@ function openWf() {
   };
   wf_ws.onmessage = (e) => {
     const u8 = new Uint8Array(e.data);
+    const tag = String.fromCharCode(u8[0], u8[1], u8[2]);
+    if (tag === "MSG") {
+      const s = new TextDecoder().decode(u8.subarray(4));
+      if (s.startsWith("mkr=")) {
+        try { renderLabels(JSON.parse(s.slice(4))); } catch (x) {}
+      }
+      return;
+    }
     if (String.fromCharCode(u8[0], u8[1], u8[2], u8[3]) !== "W/F ")
       return;
     drawRow(u8.subarray(16, 16 + 1024));

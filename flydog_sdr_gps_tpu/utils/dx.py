@@ -92,6 +92,37 @@ class DxDatabase:
                           key=lambda l: l.freq_khz)
             self.seq += 1
 
+    # -- gid-addressed ops (the wire protocol addresses labels by their
+    #    index in frequency-sorted order — `rx/rx_cmd.cpp` DX_UPD g=) --
+    def in_range_gid(self, lo_khz: float, hi_khz: float
+                     ) -> list[tuple[int, DxLabel]]:
+        """(gid, label) pairs within [lo, hi] kHz."""
+        with self._lock:
+            keys = [l.freq_khz for l in self.labels]
+            i = bisect.bisect_left(keys, lo_khz)
+            j = bisect.bisect_right(keys, hi_khz)
+            return [(g, self.labels[g]) for g in range(i, j)]
+
+    def update_gid(self, gid: int, label: DxLabel) -> None:
+        """gid < 0 or out of range adds; otherwise replaces in place
+        (then re-sorts, since the edit may move the frequency)."""
+        with self._lock:
+            if 0 <= gid < len(self.labels):
+                self.labels[gid] = label
+                self.labels.sort(key=lambda l: l.freq_khz)
+            else:
+                bisect.insort(self.labels, label,
+                              key=lambda l: l.freq_khz)
+            self.seq += 1
+
+    def delete_gid(self, gid: int) -> int:
+        with self._lock:
+            if 0 <= gid < len(self.labels):
+                del self.labels[gid]
+                self.seq += 1
+                return 1
+            return 0
+
     def delete(self, freq_khz: float, ident: str = "") -> int:
         with self._lock:
             before = len(self.labels)

@@ -18,6 +18,20 @@ p.add_argument("--gps-ppm", type=float, default=0.4,
                help="simulated oscillator error the GPS loop recovers")
 p.add_argument("--no-realtime", dest="realtime",
                action="store_false", default=True)
+p.add_argument("--cfg", default=None,
+               help="kiwi.json-style config file (passwords, policy)")
+p.add_argument("--password", default=None,
+               help="user password (overrides cfg)")
+p.add_argument("--admin-password", default=None,
+               help="admin password (overrides cfg)")
+p.add_argument("--dx", default=None,
+               help="dx.json label database path")
+p.add_argument("--inactivity-min", type=float, default=0,
+               help="kick idle listeners after N minutes (0=off)")
+p.add_argument("--tlimit-min", type=float, default=0,
+               help="per-connection time limit in minutes (0=off)")
+p.add_argument("--max-per-ip", type=int, default=0,
+               help="max rx channels one IP may hold (0=unlimited)")
 args = p.parse_args()
 
 if args.cpu:
@@ -58,8 +72,29 @@ if args.gps:
         prns=tuple(ephs) + (3, 7, 30))      # scene PRNs + decoys
     gps = GpsReceiver(sky, mgr, engine=eng)
 
-server = KiwiServer(eng, port=args.port, realtime=args.realtime,
-                    gps=gps)
+cfg = None
+if args.cfg or args.password or args.admin_password:
+    from flydog_sdr_gps_tpu.utils.cfg import Config
+    cfg = Config(args.cfg)
+    if args.password is not None:
+        cfg.set("user_password", args.password)
+    if args.admin_password is not None:
+        cfg.set("admin_password", args.admin_password)
+
+server = KiwiServer(eng, cfg=cfg, port=args.port,
+                    realtime=args.realtime, gps=gps, dx_path=args.dx)
+if args.inactivity_min:
+    server.inactivity_min = args.inactivity_min
+if args.tlimit_min:
+    server.tlimit_min = args.tlimit_min
+if args.max_per_ip:
+    server.max_conns_per_ip = args.max_per_ip
+if not server.dx.labels:
+    # seed labels for the synthetic scene so the UI shows the strip
+    from flydog_sdr_gps_tpu.utils.dx import DxLabel
+    server.dx.upsert(DxLabel(7100.0, "am", "AM test", "synthetic"))
+    server.dx.upsert(DxLabel(14201.0, "usb", "USB test", "synthetic"))
+    server.dx.upsert(DxLabel(10000.0, "am", "carrier", "synthetic"))
 
 
 async def main():
