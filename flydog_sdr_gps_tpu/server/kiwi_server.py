@@ -443,7 +443,8 @@ class KiwiServer:
     def __init__(self, engine, cfg=None, port: int = 8073,
                  ui_srate: float = 30.0e6, wf_fps: int = 23,
                  realtime: bool = False, wf_enabled: bool = True,
-                 wf_chans: int = 4, gps=None, dx_path: str | None = None):
+                 wf_chans: int = 4, gps=None, dx_path: str | None = None,
+                 autorun: list[str] | None = None):
         if web is None:
             raise RuntimeError("aiohttp not available")
         self.engine = engine
@@ -464,6 +465,10 @@ class KiwiServer:
                                  if cfg else 0)
         self.kicks = 0
         self.policy_period = 5.0
+        # background decoders on idle channels (rx_util.cpp arun_*)
+        from . import autorun as autorun_mod
+        self.autorun = (autorun_mod.AutorunManager(self, autorun)
+                        if autorun else None)
         # GPS subsystem (a runtime.gps_service.GpsReceiver): searches,
         # tracks and solves in the background; clock corrections retune
         # every DDC NCO (`rx/rx_sound.cpp:334-344`)
@@ -532,13 +537,20 @@ class KiwiServer:
 
     # -- channel management (rx_enable / rx_chan_free_count analogue) ---
     def claim_channel(self, conn: Connection) -> int | None:
-        used = {c.rx_chan for c in self.conns.values()
-                if c.rx_chan is not None}
-        for ch in range(self.engine.params.num_channels):
-            if ch not in used:
-                conn.rx_chan = ch
-                self.engine.ctl[ch].in_use = True
-                return ch
+        for _ in range(2):
+            used = {c.rx_chan for c in self.conns.values()
+                    if c.rx_chan is not None}
+            if self.autorun is not None:
+                used |= self.autorun.channels
+            for ch in range(self.engine.params.num_channels):
+                if ch not in used:
+                    conn.rx_chan = ch
+                    self.engine.ctl[ch].in_use = True
+                    return ch
+            # all channels busy: autorun decoders yield to real users
+            # (`rx/rx_util.cpp` arun preemption)
+            if self.autorun is None or not self.autorun.release_one():
+                break
         return None
 
     def release(self, conn: Connection) -> None:
@@ -694,6 +706,9 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             "gps_good": gps_good,
             "fixes": gps_fixes,
             "adc_ov": self.adc_ov_count,
+            "autorun": (len(self.autorun.channels)
+                        if self.autorun else 0),
+            "spots": (len(self.autorun.spots) if self.autorun else 0),
             "bands": int(self.ui_srate / 1e3),
             "freq_offset": 0.0,
             "sw_version": f"KiwiSDR_TPU_v{__version__}",
@@ -866,6 +881,10 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                             await conn.send_ext(tag.encode(), payload)
                 except ConnectionResetError:
                     pass
+            if self.autorun is not None:
+                self.autorun.tick()
+                await loop.run_in_executor(
+                    None, self.autorun.process_block, taps)
             if self.realtime:
                 next_t += block_period
                 delay = next_t - time.monotonic()

@@ -32,6 +32,10 @@ p.add_argument("--tlimit-min", type=float, default=0,
                help="per-connection time limit in minutes (0=off)")
 p.add_argument("--max-per-ip", type=int, default=0,
                help="max rx channels one IP may hold (0=unlimited)")
+p.add_argument("--autorun", action="append", default=[],
+               help="background decoder on an idle channel, e.g. "
+                    "--autorun wspr:7038.6 --autorun FT8:14074 "
+                    "(repeatable)")
 args = p.parse_args()
 
 if args.cpu:
@@ -82,7 +86,8 @@ if args.cfg or args.password or args.admin_password:
         cfg.set("admin_password", args.admin_password)
 
 server = KiwiServer(eng, cfg=cfg, port=args.port,
-                    realtime=args.realtime, gps=gps, dx_path=args.dx)
+                    realtime=args.realtime, gps=gps, dx_path=args.dx,
+                    autorun=args.autorun or None)
 if args.inactivity_min:
     server.inactivity_min = args.inactivity_min
 if args.tlimit_min:
