@@ -3,4 +3,5 @@
 from .source import (FileSource, SampleSource, SyntheticSource,
                      DeviceSceneSource)
 from .stream import StreamEngine
+from .sharded_stream import ShardedStreamEngine
 from .gps_service import GpsReceiver

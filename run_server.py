@@ -36,16 +36,32 @@ p.add_argument("--autorun", action="append", default=[],
                help="background decoder on an idle channel, e.g. "
                     "--autorun wspr:7038.6 --autorun FT8:14074 "
                     "(repeatable)")
+p.add_argument("--mesh", default=None,
+               help="run the multi-chip engine over a device mesh, "
+                    "e.g. --mesh time=2,chan=4 (device count must "
+                    "equal time*chan; with --cpu a virtual CPU mesh "
+                    "of that size is created)")
 args = p.parse_args()
 
+mesh_spec = None
+if args.mesh:
+    mesh_spec = dict(kv.split("=") for kv in args.mesh.split(","))
+    mesh_spec = {k: int(v) for k, v in mesh_spec.items()}
+
+import os  # noqa: E402
 if args.cpu:
+    if mesh_spec:
+        n = mesh_spec.get("time", 1) * mesh_spec.get("chan", 1)
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") +
+            f" --xla_force_host_platform_device_count={n}").strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 from flydog_sdr_gps_tpu.models import rx_channel as rx  # noqa: E402
 from flydog_sdr_gps_tpu.runtime import (  # noqa: E402
-    GpsReceiver, StreamEngine, SyntheticSource)
+    GpsReceiver, ShardedStreamEngine, StreamEngine, SyntheticSource)
 from flydog_sdr_gps_tpu.server import KiwiServer  # noqa: E402
 
 
@@ -54,13 +70,27 @@ def am_mod(t):
         * np.sin(2 * np.pi * 2.1 * t)
 
 
-params = rx.RxParams(num_channels=args.channels, audio_block=128)
+nchan = args.channels
+if mesh_spec:
+    # the sharded step needs channels divisible by time*chan shards
+    n_dev = mesh_spec.get("time", 1) * mesh_spec.get("chan", 1)
+    if nchan % n_dev:
+        nchan = ((nchan + n_dev - 1) // n_dev) * n_dev
+        print(f"rounding channels {args.channels} -> {nchan} "
+              f"(multiple of {n_dev} mesh devices)", flush=True)
+params = rx.RxParams(num_channels=nchan, audio_block=128)
 src = SyntheticSource(
     tones=[(7.100e6, 0.30, am_mod),
            (14.2018e6, 0.15),          # USB voice-ish tone @ 14.201
            (10.000e6, 0.20)],
     noise_rms=3e-4)
-eng = StreamEngine(params, src)
+if mesh_spec:
+    from flydog_sdr_gps_tpu import parallel
+    mesh = parallel.make_mesh(**mesh_spec)
+    eng = ShardedStreamEngine(params, src, mesh=mesh)
+    print(f"multi-chip engine on mesh {dict(mesh.shape)}", flush=True)
+else:
+    eng = StreamEngine(params, src)
 
 gps = None
 if args.gps:
