@@ -6,26 +6,24 @@ one chip sustains in real time.  The reference hardware (BeagleBone +
 Artix-7) tops out at 14 channels (rx14 firmware, `main.cpp:346-395`);
 the north star is >= 1000/chip on TPU v5e.
 
-Method: run the full jitted receiver block program at C channels with
-a device-resident ADC block (the production ingest path generates or
-replays samples on-device — the axon host tunnel is ~1.4 GB/s, far
+Method (round 2 -- MEASURED, not extrapolated): run the full jitted
+receiver block program at C=4096 channels end-to-end with a
+device-resident ADC block (the production ingest path generates or
+replays samples on-device -- the axon host tunnel is ~1.4 GB/s, far
 below the 500 MB/s-per-stream the wideband input needs, see
-SURVEY.md section 7 "125 Msps ingest").
+SURVEY.md section 7 "125 Msps ingest").  The realtime factor is the
+directly measured wall time of a fully-synced block step vs the RF
+time the block represents; the headline is C * factor with dispatch
+latency INCLUDED (conservative).  A separately measured null-dispatch
+latency (round-trip of a trivial jitted op) gives the device-time
+view, and XLA's compiled cost analysis gives FLOPs for an MFU figure.
 
-Timing on the axon dev tunnel is hostile: per-dispatch latency is tens
-of ms and varies, deep async queues can wedge the link, and every
-fresh jit goes through a remote compile helper that can take minutes
-when loaded.  So the measurement is a TWO-POINT fit: the same pipeline
-is timed (fully synced, depth-1) at audio_block=512 and 2048; compute
-scales 4x with block size while the per-dispatch latency L is
-constant, so
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+a "detail" sub-object (wall times, dispatch latency, TFLOP/s, MFU).
 
-    wall_512  = c + L
-    wall_2048 = 4c + L   =>   c = (wall_2048 - wall_512) / 3
-
-which recovers the pure device time per 42.7 ms of RF.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: BENCH_C (default 4096), BENCH_BLOCK (audio samples per
+block, default 2048), BENCH_ITERS (default 8), BENCH_STAGE2
+(poly|pallas|fft, default from RxParams).
 """
 
 from __future__ import annotations
@@ -38,7 +36,26 @@ import time
 import numpy as np
 
 REFERENCE_CHANNELS = 14.0      # rx14: most channels/device the ref runs
-C = int(os.environ.get("BENCH_C", "2048"))
+C = int(os.environ.get("BENCH_C", "4096"))
+BLOCK = int(os.environ.get("BENCH_BLOCK", "2048"))
+ITERS = int(os.environ.get("BENCH_ITERS", "8"))
+
+# persistent compile cache: first compile of the C=4096 program through
+# the axon remote-compile helper is minutes; reruns should be seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/repo/.jax_cache")
+
+# chip peak dense-matmul throughput (bf16, FLOP/s) by device kind --
+# public numbers; used only for the MFU denominator.
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
 def log(*a):
@@ -52,7 +69,12 @@ def build(audio_block: int):
     from flydog_sdr_gps_tpu.ops import demod
     from flydog_sdr_gps_tpu.numerology import ADC_CLOCK_NOM
 
-    params = rx.RxParams(num_channels=C, audio_block=audio_block)
+    kwargs = {}
+    s2 = os.environ.get("BENCH_STAGE2")
+    if s2:
+        kwargs["stage2"] = s2
+    params = rx.RxParams(num_channels=C, audio_block=audio_block,
+                         **kwargs)
     modes = ([demod.MODE_USB, demod.MODE_AM, demod.MODE_LSB,
               demod.MODE_NBFM] * C)[:C]
     tuning = rx.default_tuning(params, modes=modes)
@@ -68,24 +90,20 @@ def build(audio_block: int):
     return params, state, tuning, x, step
 
 
-def measure(audio_block: int, iters: int = 6) -> float:
-    """Best-of fully-synced wall time per block (seconds)."""
+def null_dispatch_latency(iters: int = 12) -> float:
+    """Round-trip wall time of a trivial jitted op: the per-dispatch
+    overhead of the (possibly tunneled) runtime, measured -- used to
+    derive the device-time view, NOT the headline."""
     import jax
-    params, state, tuning, x, step = build(audio_block)
-    log(f"audio_block={audio_block}: compiling ...")
-    t0 = time.time()
-    state, taps = step(state, tuning, x)
-    sm = np.asarray(taps.smeter_dbm)        # true round-trip sync
-    log(f"  compile+first block: {time.time()-t0:.1f}s")
-    assert np.all(np.isfinite(np.asarray(taps.audio))), "non-finite"
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda v: jnp.sum(v) * 1.000001)
+    buf = jnp.ones((8,), jnp.float32)
+    float(tiny(buf))                     # compile
     best = float("inf")
-    for i in range(iters):
+    for _ in range(iters):
         t0 = time.time()
-        state, taps = step(state, tuning, x)
-        np.asarray(taps.smeter_dbm)
-        dt = time.time() - t0
-        best = min(best, dt)
-        log(f"  iter {i}: {dt*1e3:.1f} ms")
+        float(tiny(buf))
+        best = min(best, time.time() - t0)
     return best
 
 
@@ -93,24 +111,86 @@ def main():
     import jax
     from flydog_sdr_gps_tpu.numerology import ADC_CLOCK_NOM
 
-    log(f"bench device: {jax.devices()[0]}")
-    wall_512 = measure(512)
-    wall_2048 = measure(2048)
-    compute_512 = max((wall_2048 - wall_512) / 3.0, 1e-4)
-    latency = max(wall_512 - compute_512, 0.0)
-    rf_sec = 512 * 10416 / ADC_CLOCK_NOM
-    factor = rf_sec / compute_512
-    channels_rt = C * factor
-    log(f"two-point fit: compute {compute_512*1e3:.2f} ms / "
-        f"{rf_sec*1e3:.1f} ms RF block, dispatch latency "
-        f"{latency*1e3:.1f} ms -> {factor:.2f}x realtime at C={C} "
-        f"-> {channels_rt:.0f} realtime channels/chip")
+    dev = jax.devices()[0]
+    log(f"bench device: {dev} ({dev.device_kind})")
+    params, state, tuning, x, step = build(BLOCK)
+
+    log(f"C={C} audio_block={BLOCK}: compiling ...")
+    t0 = time.time()
+    lowered = step.lower(state, tuning, x)
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+    log(f"  compile: {compile_s:.1f}s")
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+    except Exception as e:                    # pragma: no cover
+        log(f"  cost_analysis unavailable: {e}")
+        flops = 0.0
+
+    state, taps = step(state, tuning, x)
+    np.asarray(taps.smeter_dbm)               # true round-trip sync
+    assert np.all(np.isfinite(np.asarray(taps.audio))), "non-finite"
+
+    walls = []
+    for i in range(ITERS):
+        t0 = time.time()
+        state, taps = step(state, tuning, x)
+        np.asarray(taps.smeter_dbm)
+        dt = time.time() - t0
+        walls.append(dt)
+        log(f"  iter {i}: {dt*1e3:.1f} ms")
+    wall = min(walls)
+    wall_med = float(np.median(walls))
+
+    latency = null_dispatch_latency()
+    device_t = max(wall - latency, 1e-6)
+
+    rf_sec = BLOCK * params.ddc.total_decim / ADC_CLOCK_NOM
+    factor = rf_sec / wall                     # dispatch INCLUDED
+    factor_dev = rf_sec / device_t
+    channels_rt = C * factor                   # headline: measured e2e
+
+    tflops_e2e = flops / wall / 1e12 if flops else 0.0
+    tflops_dev = flops / device_t / 1e12 if flops else 0.0
+    peak = next((v for k, v in PEAK_BF16.items()
+                 if k.lower() in dev.device_kind.lower()), None)
+    mfu = (flops / device_t / peak) if (flops and peak) else None
+
+    log(f"measured: {wall*1e3:.1f} ms wall (median {wall_med*1e3:.1f}) "
+        f"per {rf_sec*1e3:.1f} ms RF -> {factor:.2f}x realtime at C={C} "
+        f"-> {channels_rt:.0f} channels/chip (dispatch included)")
+    log(f"null-dispatch latency {latency*1e3:.1f} ms -> device-time "
+        f"{device_t*1e3:.1f} ms, {factor_dev:.2f}x, "
+        f"{C*factor_dev:.0f} channels device-limit")
+    log(f"flops/block {flops:.3e} -> {tflops_e2e:.1f} TFLOP/s e2e, "
+        f"{tflops_dev:.1f} TFLOP/s device"
+        + (f", MFU {mfu*100:.1f}% of {peak/1e12:.0f} TF bf16 peak"
+           if mfu is not None else ""))
 
     print(json.dumps({
         "metric": "realtime_ddc_demod_channels_per_chip",
         "value": round(float(channels_rt), 1),
         "unit": "channels@12kHz",
         "vs_baseline": round(float(channels_rt) / REFERENCE_CHANNELS, 2),
+        "detail": {
+            "C": C, "audio_block": BLOCK,
+            "wall_ms_best": round(wall * 1e3, 2),
+            "wall_ms_median": round(wall_med * 1e3, 2),
+            "rf_ms": round(rf_sec * 1e3, 2),
+            "realtime_factor_measured": round(factor, 3),
+            "dispatch_latency_ms": round(latency * 1e3, 2),
+            "channels_device_limit": round(C * factor_dev, 1),
+            "compile_s": round(compile_s, 1),
+            "flops_per_block": flops,
+            "tflops_e2e": round(tflops_e2e, 2),
+            "tflops_device": round(tflops_dev, 2),
+            "mfu_vs_bf16_peak": (round(mfu, 4)
+                                 if mfu is not None else None),
+            "device_kind": dev.device_kind,
+            "stage2": os.environ.get("BENCH_STAGE2", "default"),
+        },
     }))
 
 

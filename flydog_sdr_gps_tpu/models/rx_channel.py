@@ -62,6 +62,11 @@ class RxParams:
     # stage-1 matmul precision: "high" = 3-pass bf16 (~-98 dB error,
     # ~30% faster) or "highest" = full f32
     precision: str = "high"
+    # stage-2 decimator implementation: "auto"/"poly" (XLA fused
+    # polyphase), "pallas" (VMEM tap-reduction kernel), "fft"
+    # (overlap-save correlation) — see ops/channelizer.stage2_apply
+    # and KERNELS.md for the measured comparison
+    stage2: str = "auto"
 
     def __post_init__(self):
         object.__setattr__(
@@ -426,7 +431,7 @@ def _ddc(params: RxParams, state: RxState, tuning: RxTuning,
     y1 = chz.stage1_apply(plan, x_ext, tuning.bank_r, tuning.bank_i,
                           state.ddc.phi1, tuning.dphi1, precision=prec)
     y_ext = cplx_ops.concatenate([state.ddc.y_tail, y1], axis=0)
-    audio_iq = chz.stage2_apply(plan, y_ext)
+    audio_iq = chz.stage2_apply(plan, y_ext, method=params.stage2)
     new = chz.DDCState(
         x_tail=x_adc[-plan.tail1:],
         y_tail=y_ext[-plan.tail2:],

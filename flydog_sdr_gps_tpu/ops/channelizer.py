@@ -281,13 +281,21 @@ def stage2_apply(plan: DDCPlan, y_ext: Cplx,
       read, but HIGHEST-precision transforms cost more than the
       bandwidth they save (kept for reference/験証).
     - ``pallas``: VMEM-resident tap reduction (ops/pallas_kernels) —
-      input read exactly once.  Opt-in: on the axon remote-compile
-      path Mosaic compilation takes minutes and the measured win over
-      XLA's fused poly path is small (~10%), so ``auto`` stays with
-      poly until the kernel's inner schedule is tuned.
+      input read exactly once.  DEFAULT on TPU: measured on a v5e
+      (tools/kernel_bench.py, KERNELS.md) it beats the fused poly
+      path 1.57x/1.76x/2.07x at C=1024/2048/4096 (30.9 vs 48.5 ms,
+      38.9 vs 68.5 ms, 56.1 vs 116.3 ms end-to-end) and Mosaic
+      compiles in ~4 s where XLA takes minutes at these shapes.
     """
     if method == "auto":
-        method = "poly"
+        from .pallas_kernels import stage2_pallas_supported
+        if (jax.default_backend() == "tpu"
+                and stage2_pallas_supported(
+                    y_ext.shape[0], y_ext.shape[1],
+                    plan.d2, plan.l2)):
+            method = "pallas"
+        else:
+            method = "poly"
     if method == "pallas":
         from .pallas_kernels import stage2_pallas
         k2 = (y_ext.shape[0] - plan.tail2) // plan.d2

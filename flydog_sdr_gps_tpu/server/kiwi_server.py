@@ -464,6 +464,10 @@ class KiwiServer:
         self.max_conns_per_ip = (cfg.int("max_conns_per_ip", 0)
                                  if cfg else 0)
         self.kicks = 0
+        # offline restart path: admin "SET restart" sets this and the
+        # run_server driver loop re-execs the process
+        self.restart_requested = False
+        self._restart_event = asyncio.Event()
         self.policy_period = 5.0
         # background decoders on idle channels (rx_util.cpp arun_*)
         from . import autorun as autorun_mod
@@ -779,7 +783,29 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 self.blacklist_add(p.get("cidr", "0.0.0.0/32"))
                 await ws.send_bytes(packets.msg(
                     blacklist_len=len(self.ip_blacklist)))
+            elif cmd == "restart":
+                # offline restart path (`ui/admin.cpp` "restart" op →
+                # kiwi_restart; here: the driver loop re-execs us).
+                # Auto-UPDATE stays egress-gated (services.py), but
+                # restart must work without network.
+                await ws.send_bytes(packets.msg(restarting=1))
+                for conn in list(self.conns.values()):
+                    await self.kick_conn(conn, "restart")
+                self.restart_requested = True
+                self._restart_event.set()
+            elif cmd == "kick_all":
+                # admin "kick all users" (`ui/admin.cpp` dump/kick)
+                n = 0
+                for conn in list(self.conns.values()):
+                    await self.kick_conn(conn, "admin")
+                    n += 1
+                await ws.send_bytes(packets.msg(kicked=n))
         return ws
+
+    async def wait_restart(self) -> None:
+        """Block until an admin requests a restart (run_server.py's
+        driver loop re-execs the process when this returns)."""
+        await self._restart_event.wait()
 
     async def http_gps(self, request):
         """Full GPS subsystem status as JSON: tracked PRNs with az/el,

@@ -56,8 +56,11 @@ PAGE = r"""<!doctype html>
  <div id="smeter"><div id="smeter_fill"></div></div>
  <span id="smeter_db">-127 dBm</span>
  ext <select id="ext"><option value="">off</option></select>
+ <button id="gps_btn">gps</button>
 </div>
 <div id="labels"></div>
+<canvas id="sky" width="360" height="360"
+        style="display:none;width:360px;background:#181818"></canvas>
 <canvas id="spec" width="1024" height="80"></canvas>
 <canvas id="wf" width="1024" height="360"></canvas>
 <pre id="extout" style="display:none; background:#000; max-height:140px;
@@ -74,6 +77,23 @@ const AUDIO_RATE = __AUDIO_RATE__;
 const EXTENSIONS = __EXTENSIONS__;
 const HZ_PER_START = UI_SRATE / (1024 * Math.pow(2, 14));
 let freq_khz = 7100.0, mode = "am", zoom = 0;
+
+// URL tuning params (reference: kiwi_util.js parses ?f=7040.00usbz8;
+// also accept the explicit ?f=&mode=&z= form)
+(function () {
+  const q = new URLSearchParams(location.search);
+  let f = q.get("f");
+  if (f) {
+    const m = f.match(/^([\d.]+)([a-z]*?)(?:z(\d+))?$/);
+    if (m) {
+      freq_khz = parseFloat(m[1]) || freq_khz;
+      if (m[2] && PB[m[2]]) mode = m[2];
+      if (m[3]) zoom = Math.min(14, parseInt(m[3]));
+    }
+  }
+  if (q.get("mode") && PB[q.get("mode")]) mode = q.get("mode");
+  if (q.get("z")) zoom = Math.max(0, Math.min(14, parseInt(q.get("z"))));
+})();
 let snd_ws = null, wf_ws = null, actx = null, playTime = 0;
 let rows = 0, pkts = 0;
 
@@ -319,6 +339,60 @@ document.getElementById("audio_btn").onclick = () => {
   }
   actx.resume();
 };
+// ---------------- GPS sky map ----------------
+// polar az/el plot fed from /gps (reference: the admin GPS tab,
+// gps/stat.cpp + kiwi/admin.js sky map)
+let gpsTimer = null;
+const skyEl = document.getElementById("sky");
+document.getElementById("gps_btn").onclick = () => {
+  const show = skyEl.style.display === "none";
+  skyEl.style.display = show ? "block" : "none";
+  document.getElementById("gps_btn").classList.toggle("on", show);
+  if (show) { drawSky(); gpsTimer = setInterval(drawSky, 5000); }
+  else clearInterval(gpsTimer);
+};
+async function drawSky() {
+  let st;
+  try { st = await (await fetch("/gps")).json(); } catch (x) { return; }
+  const g = skyEl.getContext("2d");
+  const cx = 180, cy = 180, R = 160;
+  g.fillStyle = "#181818"; g.fillRect(0, 0, 360, 360);
+  g.strokeStyle = "#444"; g.fillStyle = "#888"; g.font = "11px sans-serif";
+  [0, 30, 60].forEach((el) => {
+    const r = R * (90 - el) / 90;
+    g.beginPath(); g.arc(cx, cy, r, 0, 2 * Math.PI); g.stroke();
+    g.fillText(el + "°", cx + 2, cy - r + 11);
+  });
+  g.beginPath(); g.moveTo(cx - R, cy); g.lineTo(cx + R, cy);
+  g.moveTo(cx, cy - R); g.lineTo(cx, cy + R); g.stroke();
+  g.fillText("N", cx - 4, 12);
+  if (!st.enabled) { g.fillText("gps disabled", 8, 350); return; }
+  (st.sats || st.channels || []).forEach((s) => {
+    if (s.el === undefined || s.el === null) return;
+    const r = R * (90 - s.el) / 90;
+    const a = (s.az - 90) * Math.PI / 180;
+    const x = cx + r * Math.cos(a), y = cy + r * Math.sin(a);
+    const snr = s.snr || s.power_db || 30;
+    const hot = Math.max(0, Math.min(1, (snr - 20) / 30));
+    const gal = (s.sys === "galileo") || s.prn >= 210;
+    g.fillStyle = gal ?
+        "rgb(" + (80+120*hot) + ",80,255)" :
+        "rgb(0," + (120 + 135 * hot) + ",80)";
+    g.beginPath(); g.arc(x, y, 6, 0, 2 * Math.PI); g.fill();
+    g.fillStyle = "#ddd";
+    g.fillText(gal ? "E" + (s.prn - 210) : s.prn, x + 7, y + 4);
+  });
+  g.fillStyle = "#8a8";
+  const fix = st.last_fix || st.fix;
+  g.fillText("tracked " + (st.tracking || 0) + " · fixes " +
+      (st.fixes || 0) + (fix ? " · " + fix[0].toFixed(4) + ", " +
+      fix[1].toFixed(4) : ""), 8, 350);
+}
+
+// apply URL tuning to the controls before connecting
+document.getElementById("freq").value = freq_khz.toFixed(2);
+document.getElementById("zoom").value = zoom;
+
 setInterval(() => { setMsg(snd_ws, "keepalive"); }, 5000);
 openSnd();
 openWf();

@@ -7,6 +7,8 @@ Scene: AM broadcast at 7.100 MHz (1 kHz music-ish tone), USB at
 """
 import argparse
 import asyncio
+import os
+import sys
 
 p = argparse.ArgumentParser()
 p.add_argument("--port", type=int, default=8073)
@@ -135,6 +137,12 @@ if not server.dx.labels:
 async def main():
     await server.start()
     print(f"ready on http://127.0.0.1:{args.port}/", flush=True)
-    await asyncio.Event().wait()
+    # offline restart: admin "SET restart" re-execs this process
+    # (reference: `ui/admin.cpp` restart op → kiwi_restart())
+    await server.wait_restart()
+    await server.stop()
 
 asyncio.run(main())
+if server.restart_requested:
+    print("admin restart requested; re-exec", flush=True)
+    os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -169,6 +169,16 @@ async def webui_scenario():
             assert "audio_btn" in page and "W/F" in page
             assert "AUDIO_RATE = 12000" in page
             assert "UI_SRATE = 30000000" in page
+            # GPS sky map panel + URL tuning params (?f=7040usbz8)
+            assert 'id="sky"' in page and "drawSky" in page
+            assert "URLSearchParams" in page
+
+            # /gps REST behind the sky map (enabled:false without a
+            # receiver attached)
+            async with session.get(
+                    f"http://127.0.0.1:{PORT}/gps") as resp:
+                gst = await resp.json()
+            assert gst["enabled"] is False
 
             snd = await ws_connect(session, "SND")
             await snd.send_str("SET auth t=kiwi p=")

@@ -121,3 +121,50 @@ def test_admin_page_and_auth_gate():
             await runner.cleanup()
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
         run())
+
+
+async def restart_scenario():
+    """Admin 'SET restart' kicks users, sets restart_requested, and
+    releases wait_restart() (the run_server.py driver re-execs);
+    'SET kick_all' force-drops every connection."""
+    params = rx.RxParams(num_channels=2, audio_block=128)
+    src = SyntheticSource(tones=((14.201e6, 0.5),), noise_rms=0.001)
+    eng = StreamEngine(params, src)
+    server = KiwiServer(eng, cfg=Config(), port=PORT + 3,
+                        realtime=False)
+    runner = await server.start()
+    try:
+        async with aiohttp.ClientSession() as s:
+            url = f"http://127.0.0.1:{PORT + 3}"
+            ws_snd = await s.ws_connect(f"{url}/21/SND")
+            await ws_snd.send_str("SET auth t=kiwi p=")
+            await asyncio.sleep(0.2)
+            assert "21" in server.conns
+
+            adm = await s.ws_connect(f"{url}/22/ADMIN")
+            await adm.send_str("SET auth t=admin p=")
+            m = await adm.receive()
+            assert b"badp=0" in m.data
+
+            # kick_all drops the SND user but keeps serving
+            await adm.send_str("SET kick_all")
+            m = await adm.receive()
+            assert b"kicked=1" in m.data
+            await asyncio.sleep(0.2)
+            assert "21" not in server.conns
+
+            # restart: wait_restart() must unblock
+            waiter = asyncio.create_task(server.wait_restart())
+            await adm.send_str("SET restart")
+            m = await adm.receive()
+            assert b"restarting=1" in m.data
+            await asyncio.wait_for(waiter, timeout=5)
+            assert server.restart_requested
+            await adm.close()
+    finally:
+        await server.stop()
+        await runner.cleanup()
+
+
+def test_admin_restart_and_kick_all():
+    asyncio.run(restart_scenario())
