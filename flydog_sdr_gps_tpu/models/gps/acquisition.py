@@ -85,27 +85,14 @@ def code_ffts(params: AcqParams, prns: tuple[int, ...]) -> np.ndarray:
     return out
 
 
-def acquire(params: AcqParams, baseband: Cplx, code_fft: Cplx,
-            code_period_samples: int | None = None,
-            chips_per_period: int = L1_CODELEN
-            ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Search the (sat, Doppler) plane.
-
-    baseband: (fft_len,) decimated IF block.
-    code_fft: (nsat, fft_len) conjugated code spectra.
-    code_period_samples: lag-search span (one code period); defaults
-    to the C/A 1 ms period (4092 samples at 4.092 Msps).  Galileo E1B
-    passes its 4 ms period (= the whole window).
-
-    Returns (snr, code_phase, doppler_hz) per satellite, where SNR is
-    peak power / mean power (the reference's test statistic,
-    `gps/search.cpp:453-498`).
-    """
+def acquire_power(params: AcqParams, baseband: Cplx, code_fft: Cplx
+                  ) -> jax.Array:
+    """Correlation power plane (nsat, n_doppler, fft_len) for one
+    4 ms window (the inner loop of `gps/search.cpp:453-498`)."""
     nd = params.n_doppler
     half = nd // 2
     x = fft_ops.fft(baseband.reshape(1, -1))[0]        # (fft_len,)
     nsat = code_fft.shape[0]
-
     # Doppler shift = circular roll of the DATA spectrum by d bins
     # (bin width fs/fft_len ~= 249.8 Hz ~= doppler_step)
     rolls = [d - half for d in range(nd)]
@@ -118,7 +105,17 @@ def acquire(params: AcqParams, baseband: Cplx, code_fft: Cplx,
         xs.re[None, :, :] * code_fft.im[:, None, :]
         + xs.im[None, :, :] * code_fft.re[:, None, :])  # (nsat, nd, N)
     corr = fft_ops.ifft(prod.reshape(nsat * nd, params.fft_len))
-    power = corr.abs2().reshape(nsat, nd, params.fft_len)
+    return corr.abs2().reshape(nsat, nd, params.fft_len)
+
+
+def peak_from_power(params: AcqParams, power: jax.Array,
+                    code_period_samples: int | None = None,
+                    chips_per_period: int = L1_CODELEN
+                    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Reduce a (summed) power plane to per-sat (snr, cp, doppler)."""
+    nd = params.n_doppler
+    half = nd // 2
+    nsat = power.shape[0]
     # only one code period of lags is distinct; the peak repeats
     samps_per_code = code_period_samples or \
         int(round(params.fs / 1.023e6 * L1_CODELEN))
@@ -138,6 +135,27 @@ def acquire(params: AcqParams, baseband: Cplx, code_fft: Cplx,
         (samps_per_code - phase_idx).astype(jnp.float32),
         samps_per_code) * jnp.float32(chips_per_period / samps_per_code)
     return snr, code_phase, doppler_hz
+
+
+def acquire(params: AcqParams, baseband: Cplx, code_fft: Cplx,
+            code_period_samples: int | None = None,
+            chips_per_period: int = L1_CODELEN
+            ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Search the (sat, Doppler) plane for one window.
+
+    baseband: (fft_len,) decimated IF block.
+    code_fft: (nsat, fft_len) conjugated code spectra.
+    code_period_samples: lag-search span (one code period); defaults
+    to the C/A 1 ms period (4092 samples at 4.092 Msps).  Galileo E1B
+    passes its 4 ms period (= the whole window).
+
+    Returns (snr, code_phase, doppler_hz) per satellite, where SNR is
+    peak power / mean power (the reference's test statistic,
+    `gps/search.cpp:453-498`).
+    """
+    power = acquire_power(params, baseband, code_fft)
+    return peak_from_power(params, power, code_period_samples,
+                           chips_per_period)
 
 
 def acquire_all(params: AcqParams, raw: np.ndarray,

@@ -7,11 +7,16 @@ GNSS-SDRLIB (`gps/GNSS-SDRLIB/sdrnav_gal.cpp`) with the ka9q K=7
 r=1/2 Viterbi decoder (`gps/ka9q-fec/viterbi27_port.cpp`).
 
 This module provides:
-- code-FFT construction for externally loaded E1B codes
-  (`cacode.load_e1b_codes` — ICD data, not bundled);
+- the E1B code registry: ICD memory codes loaded at runtime
+  (`cacode.load_e1b_codes` — ICD data, not bundled) or deterministic
+  synthetic stand-ins for closed-loop testing;
+- code-FFT construction (BOC(1,1)) for acquisition;
 - a full K=7 r=1/2 Viterbi decoder (standard CCSDS polynomials
   171/133 octal, as used by Galileo I/NAV);
-- I/NAV page-part deinterleaving (8x30 block interleaver) and sync.
+- I/NAV page framing: CRC-24Q, word types 0-5 encode/decode
+  (OS SIS ICD 4.3.5 field layouts), 8x30 interleaver, page-part
+  FEC, and a live symbol-stream assembler (`InavAssembler`) with the
+  same interface as the LNAV `SubframeAssembler`.
 """
 
 from __future__ import annotations
@@ -19,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...numerology import E1B_CODELEN
-from . import acquisition
+from . import acquisition, ephemeris
 
 # CCSDS / Galileo I/NAV convolutional code (K=7, r=1/2).  Note: the
 # Galileo SIS transmits the G2 branch inverted; receivers handling
@@ -130,3 +135,385 @@ def inav_deinterleave(symbols240: np.ndarray) -> np.ndarray:
 
 def inav_interleave(symbols240: np.ndarray) -> np.ndarray:
     return np.asarray(symbols240).reshape(8, 30).T.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# E1B memory code registry
+# ---------------------------------------------------------------------------
+# The real codes are ICD data (`gps/e1bcode.h` in the reference holds
+# the same hex); install them with :func:`set_e1b_codes` +
+# `cacode.load_e1b_codes(path)`.  Without ICD data the registry serves
+# deterministic synthetic codes so the full acquisition->tracking->
+# I/NAV->solver pipeline is testable closed-loop (the scene generator
+# uses the same registry, exactly like the FPGA correlates whatever
+# code table was downloaded to it).
+
+_E1B_CODES: dict[int, np.ndarray] = {}
+
+
+def set_e1b_codes(codes: dict[int, np.ndarray]) -> None:
+    """Install real E1B memory codes ({prn: (4092,) +-1 int8})."""
+    for prn, c in codes.items():
+        c = np.asarray(c, np.int8)
+        if c.shape != (E1B_CODELEN,):
+            raise ValueError(f"E1B PRN {prn}: need {E1B_CODELEN} chips")
+        _E1B_CODES[prn] = c
+    _CODE_FFT_CACHE.clear()
+
+
+def e1b_test_code(prn: int) -> np.ndarray:
+    """Deterministic synthetic 4092-chip memory code (test stand-in)."""
+    rng = np.random.default_rng(0xE1B0000 + prn)
+    return (1 - 2 * rng.integers(0, 2, E1B_CODELEN)).astype(np.int8)
+
+
+def e1b_code(prn: int) -> np.ndarray:
+    """The E1B code for ``prn``: installed ICD data if present, else
+    the synthetic test code."""
+    c = _E1B_CODES.get(prn)
+    return c if c is not None else e1b_test_code(prn)
+
+
+# ---------------------------------------------------------------------------
+# CRC-24Q (same polynomial as the RTCM/SBAS CRC; Galileo ICD 4.3.2.3)
+# ---------------------------------------------------------------------------
+
+_CRC24Q_POLY = 0x1864CFB
+
+
+def crc24q(bits: np.ndarray) -> int:
+    """CRC-24Q over a bit array (MSB-first), init 0."""
+    reg = 0
+    for b in np.asarray(bits, np.uint8):
+        reg = ((reg << 1) | int(b)) & 0xFFFFFF if not (reg & 0x800000) \
+            else ((((reg << 1) | int(b)) ^ _CRC24Q_POLY) & 0xFFFFFF)
+    for _ in range(24):
+        reg = ((reg << 1) & 0xFFFFFF) if not (reg & 0x800000) \
+            else (((reg << 1) ^ _CRC24Q_POLY) & 0xFFFFFF)
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# I/NAV word codec (OS SIS ICD 4.3.5 field layouts, words 0-5)
+# ---------------------------------------------------------------------------
+
+PI_ICD = ephemeris.PI
+PAGE_SYMS = 500                 # one nominal page: even + odd part
+PART_SYMS = 250                 # 10 sync + 240 coded symbols
+SYM_RATE = 250.0                # I/NAV symbols per second
+
+
+def _bits_of(val: int, n: int) -> np.ndarray:
+    val &= (1 << n) - 1
+    return np.array([(val >> (n - 1 - i)) & 1 for i in range(n)],
+                    np.uint8)
+
+
+def _int_of(bits: np.ndarray, signed: bool = False) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if signed and v >= 1 << (len(bits) - 1):
+        v -= 1 << len(bits)
+    return v
+
+
+def _q(val: float, lsb: float, n: int) -> int:
+    """Quantize to an n-bit two's-complement field."""
+    v = int(round(val / lsb))
+    lim = 1 << (n - 1)
+    return max(-lim, min(lim - 1, v)) & ((1 << n) - 1)
+
+
+def _qu(val: float, lsb: float, n: int) -> int:
+    v = int(round(val / lsb))
+    return max(0, min((1 << n) - 1, v))
+
+
+def encode_word(wt: int, eph: ephemeris.Ephemeris, wn: int = 0,
+                tow: float = 0.0) -> np.ndarray:
+    """Encode I/NAV word type ``wt`` (0-5) to 128 bits.
+
+    Angles in ``eph`` are radians; fields are scaled per the Galileo
+    OS SIS ICD 4.3.5 (semicircles with the ICD's pi).  Word types 1-4
+    carry the Keplerian set + clock; 5 carries WN/TOW (+iono, zeroed
+    here); 0 is the time/spare word.
+    """
+    iod = (eph.iode if eph.iode >= 0 else 0) & 0x3FF
+    sc = PI_ICD                  # radians per semicircle
+    if wt == 1:
+        f = [( wt, 6), (iod, 10), (_qu(eph.toe, 60.0, 14), 14),
+             (_q(eph.m0 / sc, 2.0 ** -31, 32), 32),
+             (_qu(eph.e, 2.0 ** -33, 32), 32),
+             (_qu(eph.sqrt_a, 2.0 ** -19, 32), 32), (0, 2)]
+    elif wt == 2:
+        f = [(wt, 6), (iod, 10),
+             (_q(eph.omega0 / sc, 2.0 ** -31, 32), 32),
+             (_q(eph.i0 / sc, 2.0 ** -31, 32), 32),
+             (_q(eph.omega / sc, 2.0 ** -31, 32), 32),
+             (_q(eph.idot / sc, 2.0 ** -43, 14), 14), (0, 2)]
+    elif wt == 3:
+        f = [(wt, 6), (iod, 10),
+             (_q(eph.omega_dot / sc, 2.0 ** -43, 24), 24),
+             (_q(eph.delta_n / sc, 2.0 ** -43, 16), 16),
+             (_q(eph.cuc, 2.0 ** -29, 16), 16),
+             (_q(eph.cus, 2.0 ** -29, 16), 16),
+             (_q(eph.crc, 2.0 ** -5, 16), 16),
+             (_q(eph.crs, 2.0 ** -5, 16), 16), (107, 8)]
+    elif wt == 4:
+        f = [(wt, 6), (iod, 10), (eph.prn & 0x3F, 6),
+             (_q(eph.cic, 2.0 ** -29, 16), 16),
+             (_q(eph.cis, 2.0 ** -29, 16), 16),
+             (_qu(eph.toc, 60.0, 14), 14),
+             (_q(eph.af0, 2.0 ** -34, 31), 31),
+             (_q(eph.af1, 2.0 ** -46, 21), 21),
+             (_q(eph.af2, 2.0 ** -59, 6), 6), (0, 2)]
+    elif wt == 5:
+        f = [(wt, 6), (0, 11), (0, 11), (0, 14), (0, 5),  # iono zeroed
+             (0, 10), (0, 10),          # BGD E1/E5a, E1/E5b
+             (0, 2), (0, 2), (0, 1), (0, 1),  # HS/DVS flags: healthy
+             (wn & 0xFFF, 12), (_qu(tow, 1.0, 20), 20), (0, 23)]
+    elif wt == 0:
+        f = [(wt, 6), (2, 2), (0, 88),
+             (wn & 0xFFF, 12), (_qu(tow, 1.0, 20), 20)]
+    else:
+        raise ValueError(f"word type {wt} not supported")
+    out = np.concatenate([_bits_of(v, n) for v, n in f])
+    assert out.shape == (128,), (wt, out.shape)
+    return out
+
+
+def decode_word(w: np.ndarray, eph: ephemeris.Ephemeris
+                ) -> tuple[int, float | None, int | None]:
+    """Decode a 128-bit I/NAV word into ``eph``.
+
+    Returns (word_type, tow or None, iod_nav or None).
+    """
+    wt = _int_of(w[:6])
+    sc = PI_ICD
+    tow = iod = None
+    if wt == 1:
+        iod = _int_of(w[6:16])
+        eph.toe = _int_of(w[16:30]) * 60.0
+        eph.m0 = _int_of(w[30:62], signed=True) * 2.0 ** -31 * sc
+        eph.e = _int_of(w[62:94]) * 2.0 ** -33
+        eph.sqrt_a = _int_of(w[94:126]) * 2.0 ** -19
+    elif wt == 2:
+        iod = _int_of(w[6:16])
+        eph.omega0 = _int_of(w[16:48], signed=True) * 2.0 ** -31 * sc
+        eph.i0 = _int_of(w[48:80], signed=True) * 2.0 ** -31 * sc
+        eph.omega = _int_of(w[80:112], signed=True) * 2.0 ** -31 * sc
+        eph.idot = _int_of(w[112:126], signed=True) * 2.0 ** -43 * sc
+    elif wt == 3:
+        iod = _int_of(w[6:16])
+        eph.omega_dot = _int_of(w[16:40], signed=True) * 2.0 ** -43 * sc
+        eph.delta_n = _int_of(w[40:56], signed=True) * 2.0 ** -43 * sc
+        eph.cuc = _int_of(w[56:72], signed=True) * 2.0 ** -29
+        eph.cus = _int_of(w[72:88], signed=True) * 2.0 ** -29
+        eph.crc = _int_of(w[88:104], signed=True) * 2.0 ** -5
+        eph.crs = _int_of(w[104:120], signed=True) * 2.0 ** -5
+    elif wt == 4:
+        iod = _int_of(w[6:16])
+        eph.cic = _int_of(w[22:38], signed=True) * 2.0 ** -29
+        eph.cis = _int_of(w[38:54], signed=True) * 2.0 ** -29
+        eph.toc = _int_of(w[54:68]) * 60.0
+        eph.af0 = _int_of(w[68:99], signed=True) * 2.0 ** -34
+        eph.af1 = _int_of(w[99:120], signed=True) * 2.0 ** -46
+        eph.af2 = _int_of(w[120:126], signed=True) * 2.0 ** -59
+    elif wt == 5:
+        eph.week = _int_of(w[73:85])
+        tow = float(_int_of(w[85:105]))
+    elif wt == 0:
+        if _int_of(w[6:8]) == 2:
+            eph.week = _int_of(w[96:108])
+            tow = float(_int_of(w[108:128]))
+    return wt, tow, iod
+
+
+# ---------------------------------------------------------------------------
+# page framing (ICD 4.3.2: sync + FEC + interleave; CRC over 196 bits)
+# ---------------------------------------------------------------------------
+
+def _fec_part(bits120: np.ndarray) -> np.ndarray:
+    """120 bits -> 240 transmitted coded bits (G2 inverted, interleaved)."""
+    sym = conv_encode_k7(np.asarray(bits120, np.uint8))
+    sym[1::2] ^= 1                          # G2 branch sent inverted
+    return inav_interleave(sym)
+
+
+def encode_nominal_page(word128: np.ndarray) -> np.ndarray:
+    """One 2 s nominal page (even + odd part) as 500 coded bits
+    (sync included).  Transmit symbols are (1 - 2*bit)."""
+    w = np.asarray(word128, np.uint8)
+    even = np.concatenate([[0, 0], w[:112], np.zeros(6, np.uint8)]
+                          ).astype(np.uint8)
+    odd_head = np.concatenate([[1, 0], w[112:128],
+                               np.zeros(64, np.uint8)]).astype(np.uint8)
+    crc = crc24q(np.concatenate([even[:114], odd_head]))
+    odd = np.concatenate([odd_head, _bits_of(crc, 24),
+                          np.zeros(14, np.uint8)]).astype(np.uint8)
+    return np.concatenate([INAV_SYNC, _fec_part(even),
+                           INAV_SYNC, _fec_part(odd)])
+
+
+def _decode_part(soft250: np.ndarray) -> np.ndarray:
+    """250 polarity-corrected soft symbols -> 120 decoded bits.
+
+    Input convention: positive symbol == coded bit 0 (BPSK 1-2b)."""
+    de = inav_deinterleave(np.asarray(soft250, np.float64)[10:])
+    soft = -de                              # positive == bit 1
+    soft[1::2] *= -1.0                      # undo the G2 inversion
+    return viterbi_decode_k7(soft)
+
+
+class InavAssembler:
+    """Live I/NAV page sync + decode from a tracked symbol stream.
+
+    Same interface as :class:`ephemeris.SubframeAssembler`: feed soft
+    symbols (one per 4 ms code period), drain ``events`` of
+    (word_type, global_page_start_symbol, tow).  TOW convention: the
+    word-5/0 TOW field is the GST second-of-week at the start of the
+    nominal page carrying it (first sync symbol of the even part) —
+    the same convention :func:`inav symbol stream generators
+    <flydog_sdr_gps_tpu.models.gps.scene>` encode.
+    """
+
+    def __init__(self, prn: int = 0):
+        self.eph = ephemeris.Ephemeris(prn=prn)
+        self.syms: list[float] = []
+        self.base = 0                   # global index of syms[0]
+        self.subframes = 0              # pages decoded (naming parity)
+        self.events: list[tuple[int, int, float]] = []
+        self._iods: dict[int, int] = {}
+        self._sync = (1.0 - 2.0 * INAV_SYNC.astype(np.float64))
+
+    def _sync_at(self, arr: np.ndarray, off: int) -> int:
+        """+1/-1 polarity if a clean sync sits at ``off``, else 0."""
+        c = float(np.sign(arr[off:off + 10]) @ self._sync)
+        return int(np.sign(c)) if abs(c) >= 10.0 else 0
+
+    def feed(self, syms) -> list[int]:
+        self.syms.extend(float(s) for s in np.atleast_1d(syms))
+        decoded = []
+        while len(self.syms) >= PAGE_SYMS:
+            arr = np.asarray(self.syms)
+            hit = False
+            for off in range(len(arr) - PAGE_SYMS + 1):
+                pol = self._sync_at(arr, off)
+                if pol == 0 or self._sync_at(arr, off + PART_SYMS) != pol:
+                    continue
+                p1 = _decode_part(pol * arr[off:off + PART_SYMS])
+                p2 = _decode_part(
+                    pol * arr[off + PART_SYMS:off + PAGE_SYMS])
+                if p1[0] == 0 and p2[0] == 1 and p1[1] == 0 and p2[1] == 0:
+                    crc = crc24q(np.concatenate([p1[:114], p2[:82]]))
+                    if crc == _int_of(p2[82:106]):
+                        word = np.concatenate([p1[2:114], p2[2:18]])
+                        wt, tow, iod = decode_word(word, self.eph)
+                        if iod is not None:
+                            self._iods[wt] = iod
+                        if {1, 2, 3, 4} <= set(self._iods) and \
+                                len(set(self._iods.values())) == 1:
+                            self.eph.have |= {1, 2, 3}
+                        self.subframes += 1
+                        decoded.append(wt)
+                        if tow is not None:
+                            self.events.append((wt, self.base + off, tow))
+                        del self.syms[:off + PAGE_SYMS]
+                        self.base += off + PAGE_SYMS
+                        hit = True
+                        break
+                # a sync pair that fails decode: skip just this sync
+            if not hit:
+                # no decodable page in the window; keep the tail
+                keep = PAGE_SYMS + 20
+                if len(self.syms) > 3 * keep:
+                    drop = len(self.syms) - keep
+                    del self.syms[:drop]
+                    self.base += drop
+                break
+        return decoded
+
+
+# ---------------------------------------------------------------------------
+# E1B cold search (reference: E1B shares the C/A search engine with a
+# 4 ms window, `gps/search.cpp` + `CmdSetE1Bcode`)
+# ---------------------------------------------------------------------------
+
+_CODE_FFT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _refine_doppler(params: acquisition.AcqParams, raw: np.ndarray,
+                    code: np.ndarray, cp: float, dop: float) -> float:
+    """Fine Doppler from the phase slope of 1 ms sub-prompts.
+
+    The FFT search bins are fs/fft_len ~ 250 Hz; a worst-case 125 Hz
+    handoff error costs the E1B tracking loops their pull-in margin
+    (the 4 ms symbol period leaves less averaging than C/A's 20 ms
+    bits).  1 ms prompt partials at the acquired (cp, dop) over up to
+    8 ms give the residual as a phase ramp; the squared-difference
+    (BPSK doubling) estimator angle(sum d_k^2)/2 is immune to symbol
+    flips and naturally downweights edge-straddling partials.
+    """
+    sub_n = params.n_raw // 4                       # ~1 ms at fs_if
+    n = min(len(raw), 2 * params.n_raw) // sub_n * sub_n
+    t = np.arange(n) / params.fs_if
+    bb = raw[:n].astype(np.float64) * np.exp(
+        -2j * np.pi * (params.fc + dop) * t)
+    chips = cp + np.arange(n) * 1.023e6 / params.fs_if
+    ci = np.floor(chips).astype(np.int64)
+    rep = code[ci % len(code)] * np.where(chips - ci < 0.5, 1.0, -1.0)
+    sub = (bb * rep).reshape(-1, sub_n).sum(axis=1)
+    d = sub[1:] * np.conj(sub[:-1])
+    ang2 = float(np.angle(np.sum(d * d))) / 2.0     # mod pi, |err|<250Hz
+    dt_sub = sub_n / params.fs_if
+    return dop + ang2 / (2 * np.pi * dt_sub)
+
+
+def acquire_all_e1b(params: acquisition.AcqParams, raw: np.ndarray,
+                    prns: tuple[int, ...], batch: int = 4) -> list[dict]:
+    """Full E1B cold search over ``prns`` (Galileo SV ids).
+
+    4 ms coherent window = exactly one E1B code period (and one I/NAV
+    symbol).  Symbols are code-period aligned, so every window holds
+    one potential data edge at a fixed offset; when ``raw`` spans
+    >= 2 windows the correlation powers are combined NON-coherently
+    across windows so a flipped symbol cannot null the peak (worst
+    case for a single window is total cancellation at a mid-window
+    edge).  Returns dicts like the C/A search, with code_phase in E1B
+    chips (0..4092) and sub-bin-refined Doppler.
+    """
+    import jax.numpy as jnp
+    from ...ops import cplx as cplx_ops
+    raw_np = np.asarray(raw, np.float32)
+    n_win = max(1, min(2, len(raw_np) // params.n_raw))
+    bbs = [acquisition.downsample_if(
+        params, jnp.asarray(raw_np[w * params.n_raw:
+                                   (w + 1) * params.n_raw]))
+        for w in range(n_win)]
+    period = int(round(params.fs / 1.023e6 * E1B_CODELEN))  # 16368
+    results = []
+    for i in range(0, len(prns), batch):
+        grp = tuple(prns[i:i + batch])
+        cfs = []
+        for p in grp:
+            if p not in _CODE_FFT_CACHE:
+                _CODE_FFT_CACHE[p] = e1b_code_fft(params, e1b_code(p))
+            cfs.append(_CODE_FFT_CACHE[p])
+        cf = cplx_ops.from_numpy(np.stack(cfs))
+        power = acquisition.acquire_power(params, bbs[0], cf)
+        for b in bbs[1:]:
+            power = power + acquisition.acquire_power(params, b, cf)
+        snr, cp, dop = acquisition.peak_from_power(
+            params, power,
+            code_period_samples=period, chips_per_period=E1B_CODELEN)
+        for j, p in enumerate(grp):
+            d = float(dop[j])
+            if float(snr[j]) > 25.0:
+                d = _refine_doppler(params, raw_np,
+                                    e1b_code(p).astype(np.float64),
+                                    float(cp[j]), d)
+            results.append(dict(prn=p, snr=float(snr[j]),
+                                code_phase=float(cp[j]), doppler=d))
+    results.sort(key=lambda r: -r["snr"])
+    return results

@@ -36,12 +36,13 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
-from ...numerology import (ADC_CLOCK_NOM, CA_CHIP_RATE, GPS_FS,
-                           GPS_MAX_CHANS)
-from . import acquisition, cacode, clock, ephemeris, solver, tracking
+from ...numerology import (ADC_CLOCK_NOM, CA_CHIP_RATE, E1B_CODELEN,
+                           GALILEO_PRN_BASE, GPS_FS, GPS_MAX_CHANS,
+                           L1_CODELEN)
+from . import (acquisition, cacode, clock, ephemeris, galileo, solver,
+               tracking)
 
 C_LIGHT = solver.C_LIGHT
-GALILEO_PRN_BASE = 210          # internal PRN numbering for E1B sats
 
 
 @dataclasses.dataclass
@@ -51,6 +52,7 @@ class GpsChannel:
     prn: int
     state_idx: int                  # row in the batched TrackState
     acquired_snr: float = 0.0
+    code_len: int = L1_CODELEN      # chips per code period
     epochs: int = 0                 # epochs tracked since start
     chips: float = 0.0              # unwrapped code chips since start
     last_cp: float | None = None    # previous epoch code-phase snapshot
@@ -73,11 +75,19 @@ class GpsChannel:
 
     def __post_init__(self):
         if self.asm is None:
-            self.asm = ephemeris.SubframeAssembler(prn=self.prn)
+            self.asm = (galileo.InavAssembler(prn=self.svid)
+                        if self.constellation == "galileo"
+                        else ephemeris.SubframeAssembler(prn=self.prn))
 
     @property
     def constellation(self) -> str:
         return "galileo" if self.prn >= GALILEO_PRN_BASE else "gps"
+
+    @property
+    def svid(self) -> int:
+        """Constellation-local satellite id (E1B SV id for Galileo)."""
+        return (self.prn - GALILEO_PRN_BASE
+                if self.prn >= GALILEO_PRN_BASE else self.prn)
 
     def t_tx_now(self) -> float | None:
         """SV transmit time (GPS s-of-week) of the sample at the
@@ -99,11 +109,15 @@ class GpsManager:
                                            # maxes out ~20 (ref min_sig
                                            # analogue, gps/search.cpp)
                  on_clock=None,
-                 adc_clock_nom: float = ADC_CLOCK_NOM):
+                 adc_clock_nom: float = ADC_CLOCK_NOM,
+                 galileo_prns: tuple[int, ...] = ()):
         self.acq = acq_params or acquisition.AcqParams()
         self.tp = track_params or tracking.TrackParams()
         self.max_chans = max_chans
         self.prns = tuple(prns)
+        # Galileo E1B SV ids to search (needs E1B memory codes — ICD
+        # data via galileo.set_e1b_codes, or the synthetic test codes)
+        self.galileo_prns = tuple(galileo_prns)
         self.min_snr = min_snr
         self.channels: dict[int, GpsChannel] = {}
         # the clock discipline measures the IF sample rate against GPS
@@ -137,12 +151,24 @@ class GpsManager:
         ``raw_if[0]`` must be the next sample :meth:`track_block` will
         see — the acquired code phase dates that instant.
         """
+        if len(self.channels) >= self.max_chans:
+            return []
         tracked = {c.prn for c in self.channels.values()}
         todo = tuple(p for p in self.prns if p not in tracked)
-        if not todo or len(self.channels) >= self.max_chans:
-            return []
-        cands = acquisition.acquire_all(
-            self.acq, raw_if[: self.acq.n_raw], prns=todo)
+        cands = []
+        if todo:
+            cands += acquisition.acquire_all(
+                self.acq, raw_if[: self.acq.n_raw], prns=todo)
+        todo_gal = tuple(p for p in self.galileo_prns
+                         if GALILEO_PRN_BASE + p not in tracked)
+        if todo_gal:
+            # 2 windows: non-coherent combining over a symbol edge
+            for c in galileo.acquire_all_e1b(
+                    self.acq, raw_if[: 2 * self.acq.n_raw],
+                    prns=todo_gal):
+                c["prn"] += GALILEO_PRN_BASE
+                cands.append(c)
+        cands.sort(key=lambda r: -r["snr"])
         started = []
         for cand in cands:
             if len(self.channels) >= self.max_chans:
@@ -164,11 +190,17 @@ class GpsManager:
         idx = self._free_row()
         if idx is None:
             return
+        prn = cand["prn"]
+        is_gal = prn >= GALILEO_PRN_BASE
+        code = (galileo.e1b_code(prn - GALILEO_PRN_BASE) if is_gal
+                else None)
         self._track_state, self._code_table = tracking.activate_channel(
             self.tp, self._track_state, self._code_table, idx,
-            cand["prn"], cand["code_phase"], cand["doppler"])
-        self.channels[cand["prn"]] = GpsChannel(
-            prn=cand["prn"], state_idx=idx, acquired_snr=cand["snr"])
+            prn, cand["code_phase"], cand["doppler"],
+            code=code, boc=is_gal)
+        self.channels[prn] = GpsChannel(
+            prn=prn, state_idx=idx, acquired_snr=cand["snr"],
+            code_len=E1B_CODELEN if is_gal else L1_CODELEN)
 
     def _drop_channel(self, prn: int) -> None:
         ch = self.channels.pop(prn, None)
@@ -211,39 +243,86 @@ class GpsManager:
                          cp_end: float, n_ep: int) -> None:
         # --- unwrap the code-chip counter across this block ---
         # cp_starts[0] is the phase at the last boundary (== ch.last_cp
-        # when the channel was already running); each epoch advances by
-        # ~1023 chips, so advance[k] = 1023 + wrap(cp[k+1] - cp[k]).
+        # when the channel was already running); each 1 ms epoch
+        # advances by ~1023 chips regardless of constellation (E1B is
+        # also 1.023 Mcps), so advance[k] = 1023 + wrap(diff - 1023)
+        # with the wrap taken mod the channel's code length.
+        L = float(ch.code_len)
         seq = np.concatenate([cp_starts, [cp_end]])
-        adv = 1023.0 + ((np.diff(seq) + 511.5) % 1023.0 - 511.5)
+        adv = 1023.0 + ((np.diff(seq) - 1023.0 + L / 2) % L - L / 2)
         chips_at_start = ch.chips + np.concatenate(
             [[0.0], np.cumsum(adv[:-1])])
         ch.chips = float(chips_at_start[-1] + adv[-1])
         ch.last_cp = cp_end
         ch.epochs += n_ep
 
-        # --- prompt history for bit extraction ---
-        # anchor candidates are snapped to the nearest code-period
-        # boundary: nav-bit edges coincide with code-period starts
-        # (20 periods/bit), so the sub-epoch part of the edge time is
-        # recovered exactly from the code phase — this is what gives
-        # pseudoranges chip-level (not epoch-level) precision, like
-        # the reference's code-phase term (`gps/solve.cpp:60-167`)
-        frac = (cp_starts + 511.5) % 1023.0 - 511.5
+        # --- prompt history for bit/symbol extraction ---
         ch.ip_pending.extend(ip.tolist())
-        ch.chip_pending.extend((chips_at_start - frac).tolist())
-        self._consume_bits(ch)
+        if ch.constellation == "galileo":
+            # unwrapped chip count of the code-period START containing
+            # each epoch (phase subtracted exactly): E1B symbols are
+            # one code period, so this both groups quarter-period
+            # prompts into symbols and anchors them to chip precision
+            ch.chip_pending.extend((chips_at_start - cp_starts).tolist())
+            self._consume_syms_gal(ch)
+        else:
+            # anchor candidates are snapped to the nearest code-period
+            # boundary: nav-bit edges coincide with code-period starts
+            # (20 periods/bit), so the sub-epoch part of the edge time
+            # is recovered exactly from the code phase — this is what
+            # gives pseudoranges chip-level (not epoch-level)
+            # precision, like the reference's code-phase term
+            # (`gps/solve.cpp:60-167`)
+            frac = (cp_starts + 511.5) % 1023.0 - 511.5
+            ch.chip_pending.extend((chips_at_start - frac).tolist())
+            self._consume_bits(ch)
 
         # power monitor / drop (`CheckPower`, gps/channel.cpp:579):
         # Costas lock metric — mean|IP|^2 / mean(IP^2+QP^2) is ~1
-        # when phase-locked (data on I only), ~0.4 on noise
-        lock = (np.mean(np.abs(ip)) ** 2 /
-                max(np.mean(ip ** 2 + qp ** 2), 1e-9))
-        if lock < 0.55:
-            ch.lost_count += 1
-            if ch.lost_count > 5:
-                self._drop_channel(ch.prn)
-        else:
-            ch.lost_count = 0
+        # when phase-locked (data on I only), ~0.4 on noise.  Counted
+        # in epochs (feed-chunk-size invariant) with a pull-in grace
+        # period, like the reference's sustained-low-power criterion.
+        if ch.epochs > 500:
+            lock = (np.mean(np.abs(ip)) ** 2 /
+                    max(np.mean(ip ** 2 + qp ** 2), 1e-9))
+            if lock < 0.55:
+                ch.lost_count += n_ep
+                if ch.lost_count > 2000:    # ~2 s of lost lock
+                    self._drop_channel(ch.prn)
+            else:
+                ch.lost_count = 0
+
+    def _consume_syms_gal(self, ch: GpsChannel) -> None:
+        """Fold quarter-period prompts into 4 ms I/NAV symbols (one
+        per E1B code period), feed the page assembler, drain TOW
+        anchors.  No bit-sync search is needed: symbol edges ARE code
+        period boundaries (`sdrnav_gal.cpp` exploits the same)."""
+        starts = ch.chip_pending
+        n = len(starts)
+        i = 0
+        syms = []
+        while True:
+            j = i
+            while j < n and starts[j] - starts[i] < ch.code_len / 2:
+                j += 1
+            if j >= n:
+                break           # current period may still be filling
+            syms.append(sum(ch.ip_pending[i:j]))
+            ch.bit_anchors.append(starts[i])
+            i = j
+        if i == 0:
+            return
+        del ch.ip_pending[:i]
+        del ch.chip_pending[:i]
+        ch.bits_total += len(syms)
+        ch.anchor_base = ch.bits_total - len(ch.bit_anchors)
+        ch.asm.feed(np.asarray(syms))
+        for (_wt, start_sym, tow) in ch.asm.events:
+            j = start_sym - ch.anchor_base
+            if 0 <= j < len(ch.bit_anchors):
+                # I/NAV TOW dates the start of its own nominal page
+                ch.tow_ref = (tow, ch.bit_anchors[j])
+        ch.asm.events.clear()
 
     def _consume_bits(self, ch: GpsChannel) -> None:
         """Fold pending 1 ms prompts into 20 ms nav bits, feed the
@@ -383,7 +462,9 @@ class GpsManager:
                    else solver.lla_from_ecef(self.last_fix))
         sats = []
         for ch in self.channels.values():
-            e = {"prn": ch.prn, "snr": round(ch.acquired_snr, 1),
+            e = {"prn": ch.prn, "svid": ch.svid,
+                 "con": ch.constellation,
+                 "snr": round(ch.acquired_snr, 1),
                  "subframes": ch.asm.subframes,
                  "has_tow": ch.tow_ref is not None}
             if self.last_fix is not None and ch.t_tx_now() is not None:

@@ -27,8 +27,9 @@ import math
 
 import numpy as np
 
-from ...numerology import CA_CHIP_RATE, GPS_FC, GPS_FS, L1_CODELEN
-from . import cacode, ephemeris, solver
+from ...numerology import (CA_CHIP_RATE, E1B_CODELEN, GALILEO_PRN_BASE,
+                           GPS_FC, GPS_FS, L1_CODELEN)
+from . import cacode, ephemeris, galileo, solver
 
 F_L1 = 1575.42e6
 OMEGA_E = ephemeris.OMEGA_E
@@ -127,6 +128,87 @@ def lnav_bitstream(eph: ephemeris.Ephemeris, t_start: float,
     return sf0 * 6.0, np.where(arr > 0, 1.0, -1.0).astype(np.float32)
 
 
+def make_galileo_ephemeris(prn: int, t0: float, omega0: float, m0: float,
+                           af0: float = 0.0, af1: float = 0.0
+                           ) -> ephemeris.Ephemeris:
+    """A clean Galileo orbit (a=29600 km, i=56 deg) through
+    (omega0, m0), round-tripped through the I/NAV word codec so the
+    scene's truth matches what a receiver can decode."""
+    e = ephemeris.Ephemeris(prn=prn)
+    e.week = 245
+    e.toc = e.toe = 60.0 * round(t0 / 60.0)   # I/NAV toe LSB is 60 s
+    e.af0, e.af1, e.af2 = af0, af1, 0.0
+    e.iode = prn
+    e.sqrt_a = math.sqrt(29600e3)
+    e.e = 0.0003
+    e.i0 = 0.978                              # ~56 deg
+    e.omega0 = omega0
+    e.m0 = m0
+    e.omega = 0.3
+    e.omega_dot = -5.6e-9
+    e.idot = 1.5e-10
+    e.delta_n = 3.0e-9
+    e.crs, e.crc = 15.0, 120.0
+    e.cuc, e.cus = 1.5e-6, 6.0e-6
+    e.cic, e.cis = 4.0e-8, -5.0e-8
+    rt = ephemeris.Ephemeris(prn=prn)
+    for wt in (1, 2, 3, 4):
+        galileo.decode_word(galileo.encode_word(wt, e), rt)
+    rt.prn = prn
+    rt.week = e.week
+    rt.have = {1, 2, 3}
+    return rt
+
+
+def visible_galileo(rx_ecef: np.ndarray, t0: float, n_sats: int = 6,
+                    min_el: float = 15.0, seed: int = 1
+                    ) -> dict[int, ephemeris.Ephemeris]:
+    """Pick ``n_sats`` Galileo ephemerides above ``min_el`` at ``t0``
+    (keys are E1B SV ids 1..36)."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    prn = 1
+    for plane in range(3):
+        for slot in range(12):
+            if len(out) >= n_sats or prn > 36:
+                return out
+            om0 = plane * 2 * math.pi / 3 + 0.7
+            m0 = slot * math.pi / 6 + 0.9 * plane
+            af0 = float(rng.uniform(-2e-5, 2e-5))
+            af1 = float(rng.uniform(-1e-11, 1e-11))
+            eph = make_galileo_ephemeris(prn, t0, om0, m0, af0, af1)
+            pos, _ = eph.sat_pos(t0)
+            _az, el = solver.az_el(rx_ecef, pos)
+            prn += 1
+            if el >= min_el:
+                out[eph.prn] = eph
+    return out
+
+
+def inav_symbolstream(eph: ephemeris.Ephemeris, t_start: float,
+                      duration: float) -> tuple[float, np.ndarray]:
+    """I/NAV symbols (+-1 at 250 sym/s) covering
+    [t_start, t_start+duration] of SV time.
+
+    Returns (t_syms0, symbols): ``t_syms0`` is the GST of symbol 0,
+    aligned to a 2 s nominal-page boundary.  Pages cycle word types
+    1,2,3,4,5,0 (the ephemeris + GST words of the nominal sequence,
+    OS SIS ICD 4.3.5); the TOW in words 5/0 dates each page start.
+    """
+    pg0 = int(t_start // 2.0) - 1
+    npg = int(duration / 2.0) + 3
+    cycle = (1, 2, 3, 4, 5, 0)
+    syms = []
+    for k in range(npg):
+        t_page = (pg0 + k) * 2.0
+        wt = cycle[(pg0 + k) % len(cycle)]
+        w = galileo.encode_word(wt, eph, wn=eph.week,
+                                tow=t_page % 604800.0)
+        bits = galileo.encode_nominal_page(w)
+        syms.extend((1.0 - 2.0 * bits).tolist())
+    return pg0 * 2.0, np.asarray(syms, np.float32)
+
+
 @dataclasses.dataclass
 class _Sat:
     prn: int
@@ -134,6 +216,9 @@ class _Sat:
     code: np.ndarray
     t_bits0: float
     bits: np.ndarray
+    code_len: int = L1_CODELEN
+    boc: bool = False
+    bit_dur: float = 0.02           # nav bit/symbol duration, s
 
 
 class GpsScene:
@@ -146,7 +231,9 @@ class GpsScene:
                  fs: float = GPS_FS, fc: float = GPS_FC,
                  amplitude: float = 0.45, noise: float = 1.0,
                  clock_ppm: float = 0.0, one_bit: bool = True,
-                 seed: int = 0):
+                 seed: int = 0,
+                 galileo_ephemerides: dict[int, ephemeris.Ephemeris]
+                 | None = None):
         self.rx = np.asarray(rx_ecef, float)
         self.fs = fs
         self.fc = fc
@@ -166,6 +253,15 @@ class GpsScene:
                 prn=prn, eph=eph,
                 code=cacode.ca_code_any(prn).astype(np.float32),
                 t_bits0=t_b0, bits=bits))
+        for prn, eph in (galileo_ephemerides or {}).items():
+            # keyed internally as GALILEO_PRN_BASE + SV id to keep the
+            # PRN namespace collision-free with Navstar 1-32
+            t_s0, syms = inav_symbolstream(eph, t0_gps, duration + 4.0)
+            self.sats.append(_Sat(
+                prn=GALILEO_PRN_BASE + prn, eph=eph,
+                code=galileo.e1b_code(prn).astype(np.float32),
+                t_bits0=t_s0, bits=syms,
+                code_len=E1B_CODELEN, boc=True, bit_dur=0.004))
 
     # -- truth accessors for assertions ----------------------------------
     def true_delay(self, prn: int, t: float) -> float:
@@ -198,8 +294,13 @@ class GpsScene:
             _pos, clk = s.eph.sat_pos(t_a - tau_a)
             t_sv = t - tau + clk              # SV-clock transmit time
             chips = t_sv * CA_CHIP_RATE
-            code = s.code[np.floor(chips).astype(np.int64) % L1_CODELEN]
-            bidx = np.floor((t_sv - s.t_bits0) / 0.02).astype(np.int64)
+            chip_idx = np.floor(chips).astype(np.int64)
+            code = s.code[chip_idx % s.code_len]
+            if s.boc:
+                # BOC(1,1): +1 first half-chip, -1 second half-chip
+                code = code * np.where(chips - chip_idx < 0.5, 1.0, -1.0)
+            bidx = np.floor((t_sv - s.t_bits0) / s.bit_dur
+                            ).astype(np.int64)
             bit = s.bits[np.clip(bidx, 0, len(s.bits) - 1)]
             # IF phase: RF phase minus the (oscillator-scaled) LO
             # phase, rebased to t0 so float64 keeps sub-cycle

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ...numerology import GPS_FC, GPS_FS, L1_CODELEN, CA_CHIP_RATE
+from ...numerology import (CA_CHIP_RATE, E1B_CODELEN, GPS_FC, GPS_FS,
+                           L1_CODELEN)
 from . import cacode
 
 
@@ -65,14 +66,27 @@ class TrackParams:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrackState:
-    """Per-channel tracking state, all (nch,) float32 unless noted."""
-    code_phase: jax.Array       # chips, fractional, mod 1023
+    """Per-channel tracking state, all (nch,) float32 unless noted.
+
+    The bank is constellation-generic: ``code_len`` is 1023 for GPS
+    C/A rows (tiled x4 in the 4092-wide code table) or 4092 for
+    Galileo E1B memory codes; ``boc`` enables the BOC(1,1) subcarrier
+    in the replica; ``corr_half`` is the per-channel E/L offset in
+    chips (0.5 for C/A's triangular ACF, 0.25 for BOC(1,1)'s narrow
+    main peak).  This mirrors how the reference FPGA runs E1B in the
+    same demod.v channels by downloading a longer code and a flag
+    (`verilog/gps/demod.v`, `CmdSetE1Bcode`).
+    """
+    code_phase: jax.Array       # chips, fractional, mod code_len
     code_rate: jax.Array        # chips per raw sample
     carr_phase: jax.Array       # radians
     carr_freq: jax.Array        # radians per raw sample
     ip_prev: jax.Array          # previous prompt I (for FLL cross/dot)
     qp_prev: jax.Array          # previous prompt Q
     active: jax.Array           # bool — channel enabled
+    code_len: jax.Array         # chips per code period (1023 / 4092)
+    boc: jax.Array              # 1.0 = BOC(1,1) subcarrier on replica
+    corr_half: jax.Array        # E/L correlator offset, chips
 
 
 def init_track_state(params: TrackParams, prns, code_phases, dopplers
@@ -97,9 +111,13 @@ def init_track_state(params: TrackParams, prns, code_phases, dopplers
         ip_prev=jnp.zeros((nch,), jnp.float32),
         qp_prev=jnp.zeros((nch,), jnp.float32),
         active=jnp.ones((nch,), bool),
+        code_len=jnp.full((nch,), float(L1_CODELEN), jnp.float32),
+        boc=jnp.zeros((nch,), jnp.float32),
+        corr_half=jnp.full((nch,), params.corr_spacing, jnp.float32),
     )
-    table = np.concatenate([cacode.ca_code_any(p).astype(np.float32)
-                            for p in prns])
+    table = np.concatenate(
+        [np.tile(cacode.ca_code_any(p).astype(np.float32),
+                 E1B_CODELEN // L1_CODELEN) for p in prns])
     return state, jnp.asarray(table)
 
 
@@ -118,29 +136,48 @@ def empty_track_state(params: TrackParams, capacity: int
         carr_phase=z,
         carr_freq=z + jnp.float32(2 * np.pi * params.fc / params.fs),
         ip_prev=z, qp_prev=z,
-        active=jnp.zeros((capacity,), bool))
-    return state, jnp.zeros((capacity * L1_CODELEN,), jnp.float32)
+        active=jnp.zeros((capacity,), bool),
+        code_len=z + jnp.float32(L1_CODELEN),
+        boc=z,
+        corr_half=z + jnp.float32(params.corr_spacing))
+    return state, jnp.zeros((capacity * E1B_CODELEN,), jnp.float32)
 
 
 def activate_channel(params: TrackParams, state: TrackState,
                      code_table: jax.Array, idx: int, prn: int,
-                     code_phase: float, doppler: float
+                     code_phase: float, doppler: float,
+                     code: np.ndarray | None = None,
+                     boc: bool = False,
+                     corr_half: float | None = None
                      ) -> tuple[TrackState, jax.Array]:
     """Start tracking ``prn`` in row ``idx`` (handoff from acquisition,
-    `gps/channel.cpp` ChanStart).  Pure row writes — no retrace."""
+    `gps/channel.cpp` ChanStart).  Pure row writes — no retrace.
+
+    ``code`` defaults to the C/A code for ``prn``; pass a 4092-chip
+    E1B memory code (+ ``boc=True``) for a Galileo channel.
+    """
+    if code is None:
+        code = cacode.ca_code_any(prn)
+    code = np.asarray(code, np.float32)
+    code_len = len(code)
+    if corr_half is None:
+        corr_half = 0.25 if boc else params.corr_spacing
     rate = (CA_CHIP_RATE * (1.0 + doppler / 1.57542e9)) / params.fs
     cf = 2 * np.pi * (params.fc + doppler) / params.fs
     state = TrackState(
-        code_phase=state.code_phase.at[idx].set(code_phase % L1_CODELEN),
+        code_phase=state.code_phase.at[idx].set(code_phase % code_len),
         code_rate=state.code_rate.at[idx].set(rate),
         carr_phase=state.carr_phase.at[idx].set(0.0),
         carr_freq=state.carr_freq.at[idx].set(cf),
         ip_prev=state.ip_prev.at[idx].set(0.0),
         qp_prev=state.qp_prev.at[idx].set(0.0),
-        active=state.active.at[idx].set(True))
-    row = jnp.asarray(cacode.ca_code_any(prn).astype(np.float32))
+        active=state.active.at[idx].set(True),
+        code_len=state.code_len.at[idx].set(float(code_len)),
+        boc=state.boc.at[idx].set(1.0 if boc else 0.0),
+        corr_half=state.corr_half.at[idx].set(float(corr_half)))
+    row = jnp.asarray(np.tile(code, E1B_CODELEN // code_len))
     code_table = jax.lax.dynamic_update_slice(
-        code_table, row, (idx * L1_CODELEN,))
+        code_table, row, (idx * E1B_CODELEN,))
     return state, code_table
 
 
@@ -159,11 +196,10 @@ def track_epochs(params: TrackParams, state: TrackState,
     nch = state.code_phase.shape[0]
     n = params.epoch
     t = jnp.arange(n, dtype=jnp.float32)
-    half = jnp.float32(params.corr_spacing)
     g1, g2 = jnp.float32(params.pll_g1), jnp.float32(params.pll_g2)
     gf, gd = jnp.float32(params.fll_g), jnp.float32(params.dll_g)
     two_pi = jnp.float32(2 * np.pi)
-    ch_off = jnp.arange(nch, dtype=jnp.int32)[:, None] * L1_CODELEN
+    ch_off = jnp.arange(nch, dtype=jnp.int32)[:, None] * E1B_CODELEN
 
     def epoch_step(st: TrackState, x):
         # ---- carrier wipeoff: (nch, n) ----
@@ -174,16 +210,24 @@ def track_epochs(params: TrackParams, state: TrackState,
 
         # ---- code replicas at E/P/L ----
         chips = st.code_phase[:, None] + t[None, :] * st.code_rate[:, None]
+        cl = st.code_len[:, None]
+        is_boc = st.boc[:, None]
 
-        def corr(offset):
-            idx = jnp.floor(chips + offset).astype(jnp.int32)
-            idx = jnp.mod(idx, L1_CODELEN) + ch_off
+        def corr(sign):
+            pos = jnp.mod(chips + sign * st.corr_half[:, None], cl)
+            frac = pos - jnp.floor(pos)
+            idx = jnp.floor(pos).astype(jnp.int32) + ch_off
             c = jnp.take(code_table, idx)
+            # BOC(1,1): +1 on the first half of each chip, -1 on the
+            # second — applied only on BOC channels
+            sub = jnp.where(is_boc > 0,
+                            jnp.where(frac < 0.5, 1.0, -1.0), 1.0)
+            c = c * sub
             return jnp.sum(xi * c, axis=1), jnp.sum(xq * c, axis=1)
 
-        ie, qe = corr(half)
+        ie, qe = corr(1.0)
         ip, qp = corr(0.0)
-        il, ql = corr(-half)
+        il, ql = corr(-1.0)
 
         # ---- discriminators ----
         e_mag = jnp.sqrt(ie * ie + qe * qe)
@@ -209,7 +253,7 @@ def track_epochs(params: TrackParams, state: TrackState,
         code_rate = (CA_CHIP_RATE * (1 + carr_dop / 1.57542e9)
                      ) / params.fs
         code_phase = jnp.mod(
-            st.code_phase + n * st.code_rate + gd * dll_err, L1_CODELEN)
+            st.code_phase + n * st.code_rate + gd * dll_err, st.code_len)
 
         cn0 = (ip * ip + qp * qp) / jnp.maximum(
             e_mag * e_mag + l_mag * l_mag, 1e-9)
@@ -219,7 +263,8 @@ def track_epochs(params: TrackParams, state: TrackState,
             code_rate=jnp.where(act, code_rate, st.code_rate),
             carr_phase=jnp.where(act, carr_phase, st.carr_phase),
             carr_freq=jnp.where(act, carr_freq, st.carr_freq),
-            ip_prev=ip, qp_prev=qp, active=act)
+            ip_prev=ip, qp_prev=qp, active=act,
+            code_len=st.code_len, boc=st.boc, corr_half=st.corr_half)
         out = dict(ip=ip, qp=qp, code_phase=st.code_phase,
                    carr_freq=carr_freq, dll_err=dll_err,
                    pll_err=pll_err, cn0=cn0)

@@ -54,6 +54,9 @@ L1_CODELEN = 1023               # C/A code chips
 E1B_CODELEN = 4092              # Galileo E1B memory code chips
 CA_CHIP_RATE = 1.023e6
 E1B_CHIP_RATE = 1.023e6         # BOC(1,1) on E1B; 4092 chips / 4 ms
+GALILEO_PRN_BASE = 210          # internal PRN offset for E1B SV ids
+                                # (Navstar 1-32, SBAS 120-140, QZSS
+                                # 193-199; Galileo E1B 1-36 -> 211-246)
 GPS_DOPPLER_MAX = 5_000.0       # Hz search range (gps/search.cpp)
 GPS_DOPPLER_STEP = 250.0        # Hz bin width -> 41 bins
 MAX_NAV_BITS = 128

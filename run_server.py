@@ -101,11 +101,14 @@ if args.gps:
     rx_pos = gps_scene.ecef_from_lla(47.37, 8.54, 450.0)
     t0 = 345600.0 + 3.0
     ephs = gps_scene.visible_constellation(rx_pos, t0, n_sats=8)
+    gal_ephs = gps_scene.visible_galileo(rx_pos, t0, n_sats=4)
     sky = gps_scene.GpsScene(rx_pos, ephs, t0, duration=3600.0,
                              clock_ppm=args.gps_ppm, noise=0.9,
-                             amplitude=0.5)
+                             amplitude=0.5,
+                             galileo_ephemerides=gal_ephs)
     mgr = gps_manager.GpsManager(
-        prns=tuple(ephs) + (3, 7, 30))      # scene PRNs + decoys
+        prns=tuple(ephs) + (3, 7, 30),      # scene PRNs + decoys
+        galileo_prns=tuple(gal_ephs))
     gps = GpsReceiver(sky, mgr, engine=eng)
 
 cfg = None
