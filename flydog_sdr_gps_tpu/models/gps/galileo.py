@@ -327,6 +327,10 @@ def decode_word(w: np.ndarray, eph: ephemeris.Ephemeris
         if _int_of(w[6:8]) == 2:
             eph.week = _int_of(w[96:108])
             tow = float(_int_of(w[108:128]))
+    if iod is not None:
+        # IOD-nav keys word-set consistency (OS SIS ICD 5.1.9.2);
+        # keep the latest so encode_word round-trips it.
+        eph.iode = iod
     return wt, tow, iod
 
 

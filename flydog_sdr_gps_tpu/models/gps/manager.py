@@ -62,6 +62,8 @@ class GpsChannel:
     ip_pending: list = dataclasses.field(default_factory=list)
     chip_pending: list = dataclasses.field(default_factory=list)
     bit_offset: int | None = None   # epoch phase of the bit boundary
+    last_r: float = 0.0             # chips from epoch start to the
+    #                                 window's internal code boundary
     bits_total: int = 0             # bits consumed (global bit index)
     # chips at the start of each consumed bit (ring of the last ~6100,
     # enough to date any subframe the assembler can still decode)
@@ -266,15 +268,19 @@ class GpsManager:
             ch.chip_pending.extend((chips_at_start - cp_starts).tolist())
             self._consume_syms_gal(ch)
         else:
-            # anchor candidates are snapped to the nearest code-period
-            # boundary: nav-bit edges coincide with code-period starts
-            # (20 periods/bit), so the sub-epoch part of the edge time
-            # is recovered exactly from the code phase — this is what
-            # gives pseudoranges chip-level (not epoch-level)
-            # precision, like the reference's code-phase term
-            # (`gps/solve.cpp:60-167`)
-            frac = (cp_starts + 511.5) % 1023.0 - 511.5
-            ch.chip_pending.extend((chips_at_start - frac).tolist())
+            # anchor candidates: every 1 ms epoch window contains
+            # exactly ONE code-period boundary (epoch ~= code period);
+            # nav-bit edges coincide with such boundaries (20
+            # periods/bit), so storing each window's internal boundary
+            # recovers the edge time at chip precision — the
+            # reference's code-phase pseudorange term
+            # (`gps/solve.cpp:60-167`).  WHICH window holds the bit
+            # edge (flip window or the one before) is decided once at
+            # bit-sync time (`_consume_bits`).
+            r = (-cp_starts) % 1023.0      # chips from window start
+            #                                to its internal boundary
+            ch.chip_pending.extend((chips_at_start + r).tolist())
+            ch.last_r = float(r[-1])
             self._consume_bits(ch)
 
         # power monitor / drop (`CheckPower`, gps/channel.cpp:579):
@@ -338,9 +344,45 @@ class GpsManager:
                     del ch.ip_pending[:2000]
                     del ch.chip_pending[:2000]
                 return
+            # --- resolve the 1-code-period anchor ambiguity ---
+            # The flip histogram locates the bit edge to +-1 epoch;
+            # the edge itself is a code-period boundary, and each
+            # epoch window contains exactly one (at r chips in).  When
+            # the boundary sits mid-window (r ~ 511) the flip epoch is
+            # noise-split between the edge window and the next, so the
+            # histogram alone can mis-date every anchor by exactly
+            # 1 ms (= 1023 chips, ~300 km of pseudorange).  Decide
+            # once which window holds the edge:
+            #   r near the window ends -> the majority rule is solid:
+            #     r > 511.5 means the edge window is mostly OLD bit,
+            #     so the flip fires one epoch later (lag=1);
+            #   r mid-window -> transition windows straddling the edge
+            #     have collapsed |IP| (half old + half new bit): the
+            #     weaker of the two candidate phases holds the edge.
+            r = ch.last_r
+            if r < 150.0 or r > 873.0:
+                lag = 1 if r > 511.5 else 0
+            else:
+                ips = np.asarray(ch.ip_pending)
+                nb = (len(ips) - off) // 20
+                bseq = np.sign(ips[off: off + nb * 20]
+                               .reshape(nb, 20).sum(axis=1))
+                tr = np.where(bseq[1:] != bseq[:-1])[0] + 1
+                j = off + 20 * tr
+                j = j[(j >= 1) & (j < len(ips))]
+                if len(j) == 0:
+                    lag = 1 if r > 511.5 else 0
+                else:
+                    e_here = float(np.mean(np.abs(ips[j])))
+                    e_prev = float(np.mean(np.abs(ips[j - 1])))
+                    lag = 1 if e_prev < e_here else 0
+            if off == 0 and lag == 1:
+                off = 20            # keep the chip index in range
             ch.bit_offset = off
             del ch.ip_pending[:off]
-            del ch.chip_pending[:off]
+            # with lag=1 the edge boundary lives in the window BEFORE
+            # each bit's first epoch: let the chip list lead by one
+            del ch.chip_pending[:off - lag]
         nbits = len(ch.ip_pending) // 20
         if nbits == 0:
             return

@@ -33,6 +33,7 @@ except ImportError:                      # pragma: no cover
     web = None
 
 from .. import __version__
+from ..numerology import GPS_MAX_CHANS
 from ..models import rx_channel as rx
 from ..models import waterfall as wf_model
 from ..ops import adpcm, demod
@@ -80,6 +81,14 @@ class Connection:
         self.camping = False          # MON stream: listen-only share
         self.ip = ""
         self.geo = ""                 # "SET geoloc=" self-report
+        self.geojson = ""             # "SET geojson=" self-report
+        self.browser = ""             # "SET browser=" ident string
+        self.options = 0              # "SET options=" flag bits
+        self.is_admin = False         # "SET auth t=admin" succeeded
+        self.wf_comp = True           # "SET wf_comp=" (separate from
+        #                               audio compression, rx_cmd.cpp)
+        self.ctrace = 0               # "SET ctrace=" debug level
+        self.dx_filter = None         # (ident, notes, case, wild, grep)
         self.conn_start = time.time()
         self.last_keepalive = time.time()   # any inbound traffic
         self.last_active = time.time()      # user ACTIONS (tune etc.)
@@ -110,6 +119,8 @@ class Connection:
                 await self.send_msg(which, badp=1)
                 return
             self.authed = True
+            if p.get("t") == "admin":
+                self.is_admin = True
             # supplying a matching non-empty password exempts the
             # connection from time limits (tlimit_exempt_pwd semantics,
             # `rx/rx_cmd.cpp:396-413`)
@@ -203,6 +214,143 @@ class Connection:
             await self.send_msg(
                 which, pref_import=(f"{pid},{pref}" if pref is not None
                                     else "null"))
+        elif cmd == "options":
+            # "SET options=%d" (`rx/rx_cmd.cpp:238-247`); bit 0 =
+            # OPT_NOLOCAL forces non-local policy treatment
+            try:
+                self.options = int(p.get("options", 0) or 0)
+            except ValueError:
+                pass
+        elif cmd == "browser":
+            from urllib.parse import unquote
+            self.browser = unquote(str(p.get("browser", "")))[:256]
+        elif cmd == "geojson":
+            from urllib.parse import unquote
+            self.geojson = unquote(str(p.get("geojson", "")))[:256]
+        elif cmd == "wf_comp":
+            # waterfall ADPCM on/off, independent of audio compression
+            # (`rx/rx_cmd.cpp:1929-1940`)
+            self.wf_comp = p.get("wf_comp", "1") not in ("0", "false")
+        elif cmd == "need_status":
+            # "SET need_status=1" -> owner status line
+            # (`rx/rx_cmd.cpp:1872-1881`)
+            from urllib.parse import quote
+            txt = (self.server.cfg.string("status_msg", "")
+                   if self.server.cfg else "") or \
+                f"KiwiSDR_TPU v{__version__}"
+            await self.send_msg(which, status_msg_html=quote(txt))
+        elif cmd == "GET_CONFIG":
+            # "MSG config_cb=" capability dict
+            # (`rx/rx_cmd.cpp:1689-1697`)
+            eng_p = eng.params
+            await self.send_msg(which, config_cb=json.dumps({
+                "r": eng_p.num_channels, "g": GPS_MAX_CHANS,
+                "s": 0, "pu": "", "pe": self.server.port,
+                "pv": "", "pi": self.server.port, "n": 24, "m": "",
+                "v1": 0, "v2": 1}, separators=(",", ":")))
+        elif cmd == "STATS_UPD":
+            # periodic client stats poll (`rx/rx_cmd.cpp:1699-1760`)
+            s = self.server
+            await self.send_msg(which, stats_cb=json.dumps({
+                "ac": sum(1 for c in s.conns.values()
+                          if c.rx_chan is not None),
+                "ki": s.kicks,
+                "gf": (s.gps.mgr.fixes
+                       if s.gps is not None else 0),
+                "ut": int(time.time() - s.start_time),
+            }, separators=(",", ":")))
+        elif cmd == "GET_USERS":
+            rows = []
+            for c in self.server.conns.values():
+                if c.rx_chan is None:
+                    continue
+                r = {"i": c.rx_chan, "n": c.ident, "g": c.geo,
+                     "f": c.freq_khz, "m": c.mode,
+                     "t": int(time.time() - c.last_active)}
+                if self.is_admin:     # admin sees IPs, users don't
+                    r["a"] = c.ip     # (`rx/rx_cmd.cpp:1790-1797`)
+                rows.append(r)
+            await self.send_msg(which, user_cb=json.dumps(
+                rows, separators=(",", ":")))
+        elif cmd == "GET_DX_SIZE":
+            await self.send_msg(which, dx_size=len(
+                self.server.dx.labels))
+        elif cmd == "GET_DX_LIST":
+            # admin-side change: tell every client to refresh labels
+            # (`rx/rx_cmd.cpp:1662-1667` bumps update seqs)
+            for c in list(self.server.conns.values()):
+                for w in ("SND", "W/F"):
+                    try:
+                        await c.send_msg(w, request_dx_update=1)
+                    except Exception:
+                        pass
+        elif cmd == "DX_FILTER":
+            # per-connection label filter applied to MARKER replies
+            from urllib.parse import unquote
+            ident = unquote(str(p.get("i", "")))[:256]
+            notes = unquote(str(p.get("n", "")))[:256]
+            if not ident and not notes:
+                self.dx_filter = None
+            else:
+                self.dx_filter = (
+                    ident, notes,
+                    p.get("c", "0") not in ("0", "false"),
+                    p.get("w", "0") not in ("0", "false"),
+                    p.get("g", "0") not in ("0", "false"))
+        elif cmd == "OVERRIDE":
+            # "SET OVERRIDE inactivity_timeout=%d" — parsed/tolerated
+            # like the reference (`rx/rx_cmd.cpp:2027-2034`)
+            pass
+        elif cmd == "notify_msg":
+            await self.send_msg(which,
+                                notify_msg=self.server.notify_msg)
+        elif cmd == "nocache":
+            self.server.web_nocache = p.get("nocache", "0") not in \
+                ("0", "false")
+        elif cmd == "ctrace":
+            try:
+                self.ctrace = int(p.get("ctrace", 0) or 0)
+            except ValueError:
+                pass
+        elif cmd in ("dbug_v", "dbug_msg", "x-DEBUG"):
+            pass                      # debug taps, accepted
+        elif cmd is not None and cmd.startswith("devl."):
+            # "SET devl.p0=1.5" — developer scratch params readable
+            # from extensions (`rx/rx_cmd.cpp` CMD_DEVL)
+            for k, v in p.items():
+                if k.startswith("devl."):
+                    try:
+                        self.server.devl[k[5:]] = float(v)
+                    except (TypeError, ValueError):
+                        pass
+        elif cmd == "is_admin":
+            await self.send_msg(which, is_admin=int(self.is_admin))
+        elif cmd in ("close_admin_force", "kick_admins"):
+            # kick_admins is allowed unauthenticated (the reference
+            # uses it to displace a stale admin session)
+            if cmd == "kick_admins" or self.is_admin:
+                await self.server.close_admin_conns()
+        elif cmd == "get_authkey":
+            if self.is_admin:
+                import secrets
+                self.server.authkey = secrets.token_hex(16)
+                await self.send_msg(which,
+                                    authkey_cb=self.server.authkey)
+        elif cmd == "clk_adj":
+            # manual ADC-clock adjust, admin only, bounded to the
+            # reference's ppm window (`rx/rx_cmd.cpp:2164-2182`)
+            if self.is_admin:
+                try:
+                    adj = int(p.get("clk_adj", 0) or 0)
+                except ValueError:
+                    return
+                nom = eng.params.adc_clock
+                lim = int(nom * 100e-6)       # ADC_CLOCK_PPM_LIMIT
+                if -lim <= adj <= lim:
+                    eng.retune_all(nom + adj)
+        elif cmd == "SERVER":
+            # "SERVER DE CLIENT <ident> <type>" hello — log it
+            lprintf("%s", text[:128])
         elif cmd == "MARKER":
             # DX-label span query issued on every zoom/pan
             # (`rx/rx_cmd.cpp` CMD_MARKER; reply "MSG mkr=[...]")
@@ -213,6 +361,9 @@ class Connection:
                 return
             rows = [{"t": 4}]
             for gid, lab in self.server.dx.in_range_gid(lo, hi):
+                if self.dx_filter is not None and \
+                        not dx_mod.filter_match(lab, *self.dx_filter):
+                    continue
                 rows.append({
                     "g": gid, "f": round(lab.freq_khz, 3),
                     "lo": lab.low_cut, "hi": lab.high_cut,
@@ -421,7 +572,7 @@ class Connection:
         # zoom 0 is never compressed (strong-carrier interaction,
         # `rx_waterfall.cpp:1284-1285`); fresh codec state + 10-byte
         # pad of the first value per row (`:1625-1627`)
-        if self.compression and self.zoom != 0:
+        if self.wf_comp and self.zoom != 0:
             st = adpcm.AdpcmState()
             padded = np.concatenate(
                 [np.full(packets.ADPCM_PAD, row[0], np.uint8), row])
@@ -493,6 +644,12 @@ class KiwiServer:
         self.realtime = realtime
         self.conns: dict[str, Connection] = {}
         self.start_time = time.time()
+        # SET-surface state (`rx/rx_cmd.cpp` CMD_* handlers)
+        self.notify_msg = ""          # extension broadcast text
+        self.web_nocache = False      # "SET nocache="
+        self.devl: dict[str, float] = {}   # "SET devl.p<N>="
+        self.authkey: str | None = None    # "SET get_authkey"
+        self.admin_wss: set = set()   # live ADMIN sockets (for kick)
         self._stop = asyncio.Event()
         # CIDR blacklist (net/ip_blacklist.cpp analogue)
         self.ip_blacklist: list[tuple[int, int]] = []
@@ -740,6 +897,26 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         await ws.prepare(request)
         from ..utils.log import get_log
         authed = False
+        self.admin_wss.add(ws)
+        try:
+            await self._ws_admin_loop(ws, get_log,
+                                      request.remote or "")
+        finally:
+            self.admin_wss.discard(ws)
+        return ws
+
+    async def close_admin_conns(self) -> None:
+        """Displace live ADMIN sessions ("SET kick_admins" /
+        "SET close_admin_force", `rx/rx_cmd.cpp:249-254,2130-2147`)."""
+        for ws in list(self.admin_wss):
+            try:
+                await ws.close()
+            except Exception:
+                pass
+        self.admin_wss.clear()
+
+    async def _ws_admin_loop(self, ws, get_log, peer: str) -> None:
+        authed = False
         async for m in ws:
             if m.type not in (WSMsgType.TEXT, WSMsgType.BINARY):
                 break
@@ -754,7 +931,6 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 pw_set = (self.cfg is not None
                           and self.cfg.string("admin_password", "") != "")
                 if authed and not pw_set:
-                    peer = request.remote or ""
                     authed = peer in ("127.0.0.1", "::1", "localhost")
                 await ws.send_bytes(packets.msg(badp=0 if authed else 1))
             elif not authed:
@@ -800,7 +976,6 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                     await self.kick_conn(conn, "admin")
                     n += 1
                 await ws.send_bytes(packets.msg(kicked=n))
-        return ws
 
     async def wait_restart(self) -> None:
         """Block until an admin requests a restart (run_server.py's

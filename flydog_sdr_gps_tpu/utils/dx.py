@@ -134,3 +134,32 @@ class DxDatabase:
             if removed:
                 self.seq += 1
             return removed
+
+
+def filter_match(label: DxLabel, ident_sub: str, notes_sub: str,
+                 case: bool = False, wild: bool = False,
+                 grep: bool = False) -> bool:
+    """DX label filter ("SET DX_FILTER i= n= c= w= g=",
+    `rx/rx_cmd.cpp:1063-1110`): substring by default, shell wildcard
+    when ``wild``, regex when ``grep``; ``case`` selects sensitivity.
+    Empty patterns match everything.
+    """
+    import fnmatch
+    import re
+
+    def one(pat: str, text: str) -> bool:
+        if not pat:
+            return True
+        if not case:
+            pat, text = pat.lower(), text.lower()
+        if grep:
+            try:
+                return re.search(pat, text) is not None
+            except re.error:
+                return False
+        if wild:
+            return fnmatch.fnmatchcase(text, pat if "*" in pat or
+                                       "?" in pat else f"*{pat}*")
+        return pat in text
+
+    return one(ident_sub, label.ident) and one(notes_sub, label.notes)

@@ -29,10 +29,14 @@ def test_manager_acquires_and_tracks():
     assert st["tracking"] == 2 and st["prns"] == [9, 22]
     assert st["fixes"] == 0 and st["fix"] is None
 
-    # feed noise only -> channels eventually dropped
-    for i in range(8):
+    # feed noise only -> channels eventually dropped (the power
+    # monitor needs the 500-epoch pull-in grace to pass and then ~2 s
+    # of sustained lost lock, `CheckPower` analogue)
+    for i in range(26):
         noise = np.sign(np.random.default_rng(i)
-                        .standard_normal(m.tp.epoch * 20)
+                        .standard_normal(m.tp.epoch * 100)
                         ).astype(np.float32)
         m.track_block(noise)
-    assert len(m.channels) <= 1   # power monitor drops dead channels
+        if not m.channels:
+            break
+    assert len(m.channels) == 0  # power monitor drops dead channels
