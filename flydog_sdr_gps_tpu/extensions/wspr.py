@@ -83,7 +83,9 @@ def _make_frontend():
         power = spec.abs2()                     # tone bins 1.46 Hz apart
         # after the shift: bin i <-> audio freq
         #   DIAL_OFFSET + (i - SPS/2) * TONE_SPACING
-        return power
+        # the 375 Hz baseband also returns so the host can run the
+        # fine (freq, time, drift) candidate refinement
+        return power, b.re, b.im
 
     return jax.jit(frontend)
 
@@ -132,6 +134,89 @@ def soft_symbols(power: np.ndarray, cand: dict) -> np.ndarray:
     return np.where(SYNC == 1, p3 - p1, p2 - p0).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# fine candidate refinement (the wsprd `sync_and_demodulate` analogue,
+# `extensions/wspr/wspr.cpp` mode 0/1/2 passes): the coarse spectrogram
+# grid is 1 tone bin x 1 symbol; a real signal sits between grid points
+# and drifts, so each candidate is refined by maximizing the sync
+# metric over (freq offset, symbol timing, linear drift) with 4-tone
+# matched filters on the 375 Hz baseband.
+# ---------------------------------------------------------------------------
+
+def tone_powers(z375: np.ndarray, f0_hz: float, start_samp: int,
+                drift_hz: float = 0.0) -> np.ndarray | None:
+    """(NSYM, 4) matched-filter tone powers from the 375 Hz baseband.
+
+    ``f0_hz``: tone-0 frequency relative to the baseband center (the
+    spectrogram's DIAL_OFFSET); ``drift_hz``: total linear frequency
+    change over the 162-symbol transmission.
+    """
+    n = NSYM * SPS
+    if start_samp < 0 or start_samp + n > len(z375):
+        return None
+    seg = z375[start_samp:start_samp + n]
+    t = np.arange(n) / FS_WSPR
+    inst = f0_hz + drift_hz * (t / t[-1] - 0.5)
+    ph = 2 * np.pi * np.cumsum(inst) / FS_WSPR
+    base = seg * np.exp(-1j * ph)
+    out = np.empty((NSYM, 4))
+    for m in range(4):
+        mixed = (base * np.exp(-2j * np.pi * (m * TONE_SPACING) * t)
+                 ).reshape(NSYM, SPS)
+        out[:, m] = np.abs(mixed.sum(axis=1)) ** 2
+    return out
+
+
+def _sync_metric(p: np.ndarray) -> float:
+    s = 2.0 * SYNC - 1.0
+    return float(np.sum(s * ((p[:, 1] + p[:, 3]) - (p[:, 0] + p[:, 2])))
+                 / max(np.sum(p), 1e-12))
+
+
+def refine_candidate(z375: np.ndarray, cand: dict,
+                     search_drift: bool = True) -> dict | None:
+    """Fine (freq, time, drift) search around a coarse candidate.
+
+    Returns the refined candidate with normalized soft data symbols
+    under ``soft`` (per-symbol power normalization caps the influence
+    of symbols hit by overlapping transmissions), or None if the
+    transmission window does not fit in the capture.
+    """
+    half = SPS // 2
+    f_base = (cand["bin"] - half) * TONE_SPACING
+    s_base = cand["dt"] * SPS
+    best = None
+    for df in np.arange(-0.75, 0.76, TONE_SPACING / 8.0):
+        for ds in range(-SPS, SPS + 1, SPS // 8):
+            p = tone_powers(z375, f_base + df, s_base + ds)
+            if p is None:
+                continue
+            m = _sync_metric(p)
+            if best is None or m > best[0]:
+                best = (m, df, ds, 0.0, p)
+    if best is None:
+        return None
+    if search_drift:
+        m0, df0, ds0 = best[0], best[1], best[2]
+        for drift in np.arange(-4.0, 4.01, 0.5):
+            if drift == 0.0:
+                continue
+            p = tone_powers(z375, f_base + df0, s_base + ds0, drift)
+            if p is None:
+                continue
+            m = _sync_metric(p)
+            if m > best[0]:
+                best = (m, df0, ds0, float(drift), p)
+    m, df, ds, drift, p = best
+    soft = np.where(SYNC == 1, p[:, 3] - p[:, 1], p[:, 2] - p[:, 0])
+    soft = (soft / (p.sum(axis=1) + 1e-12)).astype(np.float32)
+    out = dict(cand)
+    out.update(sync=m, drift=drift,
+               freq=DIAL_OFFSET + f_base + df,
+               dt_s=(s_base + ds) / FS_WSPR, soft=soft)
+    return out
+
+
 @ext_register
 class WsprExt(Extension):
     name = "wspr"
@@ -151,9 +236,18 @@ class WsprExt(Extension):
             return []
         audio = jnp.concatenate(self._audio)[:self.capture_samples]
         self._audio, self._samples = [], 0
-        power = np.asarray(self._frontend(audio))
-        cands = sync_correlate(power)
-        self.results = [(c, soft_symbols(power, c)) for c in cands[:5]]
+        power, bre, bim = self._frontend(audio)
+        power = np.asarray(power)
+        z375 = np.asarray(bre) + 1j * np.asarray(bim)
+        cands = sync_correlate(
+            power, max_dt_sym=max(power.shape[0] - NSYM, 0))
+        self.results = []
+        for c in cands[:5]:
+            r = refine_candidate(z375, c)
+            if r is not None:
+                self.results.append((r, r["soft"]))
+            else:
+                self.results.append((c, soft_symbols(power, c)))
         out = []
         best = cands[0] if cands else {}
         out.append(("wspr_status",

@@ -3,10 +3,12 @@
 Completes the WSPR chain (front end in `wspr.py`).  Reference:
 `extensions/wspr/` — Fano (`fano.cpp`) / Jelinek stack (`jelinek.cpp`)
 sequential decoders for the K=32 r=1/2 Layland-Lushbaugh code
-(POLY1/2 = 0xbbef6bb7 / 0xbbef6bb5, `fano.cpp:35-36`), bit-reversal
-deinterleaver (`wspr_util.cpp:208-223`), and the 50-bit type-1
-message unpack (`wspr_util.cpp:65-148`): 28-bit callsign, 15-bit
-Maidenhead grid, 7-bit power.
+(POLY1/2 = 0xf2d05351 / 0xe4613c47, `fano.cpp:52-53`, the `LL` pair
+WSPR actually transmits — validated against the off-air capture in
+`tests/data/wspr_offair_375.npz`), bit-reversal deinterleaver
+(`wspr_util.cpp:208-223`), and the 50-bit type-1 message unpack
+(`wspr_util.cpp:65-148`): 28-bit callsign, 15-bit Maidenhead grid,
+7-bit power.
 
 This implementation uses a stack (Jelinek-style) decoder — simpler
 control flow than Fano with the same result on the host at these
@@ -20,8 +22,8 @@ import heapq
 
 import numpy as np
 
-POLY1 = 0xBBEF6BB7
-POLY2 = 0xBBEF6BB5
+POLY1 = 0xF2D05351
+POLY2 = 0xE4613C47
 NBITS = 81            # 50 message bits + K-1 = 31 zero tail
 NSYM = 162
 CHARSET = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ "

@@ -140,19 +140,17 @@ def inav_interleave(symbols240: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # E1B memory code registry
 # ---------------------------------------------------------------------------
-# The real codes are ICD data (`gps/e1bcode.h` in the reference holds
-# the same hex); install them with :func:`set_e1b_codes` +
-# `cacode.load_e1b_codes(path)`.  Without ICD data the registry serves
-# deterministic synthetic codes so the full acquisition->tracking->
-# I/NAV->solver pipeline is testable closed-loop (the scene generator
-# uses the same registry, exactly like the FPGA correlates whatever
-# code table was downloaded to it).
+# The real ICD memory codes ship with the package (`e1b_codes.py`, the
+# same 50-PRN hex tables the reference downloads to its FPGA from
+# `gps/e1bcode.h` via `CmdSetE1Bcode`).  ``set_e1b_codes`` can still
+# override individual PRNs (the analogue of downloading a different
+# code table to the correlators).
 
 _E1B_CODES: dict[int, np.ndarray] = {}
 
 
 def set_e1b_codes(codes: dict[int, np.ndarray]) -> None:
-    """Install real E1B memory codes ({prn: (4092,) +-1 int8})."""
+    """Override E1B memory codes ({prn: (4092,) +-1 int8})."""
     for prn, c in codes.items():
         c = np.asarray(c, np.int8)
         if c.shape != (E1B_CODELEN,):
@@ -161,17 +159,14 @@ def set_e1b_codes(codes: dict[int, np.ndarray]) -> None:
     _CODE_FFT_CACHE.clear()
 
 
-def e1b_test_code(prn: int) -> np.ndarray:
-    """Deterministic synthetic 4092-chip memory code (test stand-in)."""
-    rng = np.random.default_rng(0xE1B0000 + prn)
-    return (1 - 2 * rng.integers(0, 2, E1B_CODELEN)).astype(np.int8)
-
-
 def e1b_code(prn: int) -> np.ndarray:
-    """The E1B code for ``prn``: installed ICD data if present, else
-    the synthetic test code."""
+    """The E1B primary code for Galileo SV id ``prn`` (1..50):
+    an installed override if present, else the bundled ICD code."""
     c = _E1B_CODES.get(prn)
-    return c if c is not None else e1b_test_code(prn)
+    if c is None:
+        from . import e1b_codes
+        c = _E1B_CODES[prn] = e1b_codes.e1b_chips(prn)
+    return c
 
 
 # ---------------------------------------------------------------------------

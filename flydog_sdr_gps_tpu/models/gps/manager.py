@@ -62,8 +62,11 @@ class GpsChannel:
     ip_pending: list = dataclasses.field(default_factory=list)
     chip_pending: list = dataclasses.field(default_factory=list)
     bit_offset: int | None = None   # epoch phase of the bit boundary
-    last_r: float = 0.0             # chips from epoch start to the
-    #                                 window's internal code boundary
+    # per-epoch r (chips from window start to its internal code
+    # boundary), kept only until bit sync resolves: the lag decision
+    # must use r at the flip epoch, not the newest window's r (code
+    # Doppler drifts r a few chips/s over the ~4 s sync window)
+    r_pending: list = dataclasses.field(default_factory=list)
     bits_total: int = 0             # bits consumed (global bit index)
     # chips at the start of each consumed bit (ring of the last ~6100,
     # enough to date any subframe the assembler can still decode)
@@ -280,7 +283,8 @@ class GpsManager:
             r = (-cp_starts) % 1023.0      # chips from window start
             #                                to its internal boundary
             ch.chip_pending.extend((chips_at_start + r).tolist())
-            ch.last_r = float(r[-1])
+            if ch.bit_offset is None:
+                ch.r_pending.extend(r.tolist())
             self._consume_bits(ch)
 
         # power monitor / drop (`CheckPower`, gps/channel.cpp:579):
@@ -343,6 +347,7 @@ class GpsManager:
                 if len(ch.ip_pending) > 4000:
                     del ch.ip_pending[:2000]
                     del ch.chip_pending[:2000]
+                    del ch.r_pending[:2000]
                 return
             # --- resolve the 1-code-period anchor ambiguity ---
             # The flip histogram locates the bit edge to +-1 epoch;
@@ -359,7 +364,8 @@ class GpsManager:
             #   r mid-window -> transition windows straddling the edge
             #     have collapsed |IP| (half old + half new bit): the
             #     weaker of the two candidate phases holds the edge.
-            r = ch.last_r
+            r = ch.r_pending[off] if off < len(ch.r_pending) else \
+                ch.r_pending[-1]
             if r < 150.0 or r > 873.0:
                 lag = 1 if r > 511.5 else 0
             else:
@@ -379,6 +385,7 @@ class GpsManager:
             if off == 0 and lag == 1:
                 off = 20            # keep the chip index in range
             ch.bit_offset = off
+            ch.r_pending.clear()
             del ch.ip_pending[:off]
             # with lag=1 the edge boundary lives in the window BEFORE
             # each bit's first epoch: let the chip list lead by one

@@ -120,7 +120,17 @@ class Connection:
                 return
             self.authed = True
             if p.get("t") == "admin":
-                self.is_admin = True
+                # admin auth on a user stream: when no admin password
+                # is configured, check_password accepts anything — in
+                # that case only local peers may become admin, like
+                # the ADMIN endpoint (and the reference's "no config
+                # pwd set, not is_local" refusal, rx/rx_cmd.cpp:591)
+                cfg = self.server.cfg
+                pw_set = (cfg is not None
+                          and cfg.string("admin_password", "") != "")
+                if pw_set or self.ip in ("127.0.0.1", "::1",
+                                         "localhost"):
+                    self.is_admin = True
             # supplying a matching non-empty password exempts the
             # connection from time limits (tlimit_exempt_pwd semantics,
             # `rx/rx_cmd.cpp:396-413`)
@@ -277,7 +287,10 @@ class Connection:
                 self.server.dx.labels))
         elif cmd == "GET_DX_LIST":
             # admin-side change: tell every client to refresh labels
-            # (`rx/rx_cmd.cpp:1662-1667` bumps update seqs)
+            # (`rx/rx_cmd.cpp:1662-1667` bumps update seqs) — admin
+            # only, so ordinary clients can't spam-refresh everyone
+            if not self.is_admin:
+                return
             for c in list(self.server.conns.values()):
                 for w in ("SND", "W/F"):
                     try:
@@ -305,8 +318,12 @@ class Connection:
             await self.send_msg(which,
                                 notify_msg=self.server.notify_msg)
         elif cmd == "nocache":
-            self.server.web_nocache = p.get("nocache", "0") not in \
-                ("0", "false")
+            # server-global debug toggle: admin only (the reference
+            # keeps it below the auth barrier, "SECURITY: only used
+            # during debugging")
+            if self.is_admin:
+                self.server.web_nocache = p.get("nocache", "0") not in \
+                    ("0", "false")
         elif cmd == "ctrace":
             try:
                 self.ctrace = int(p.get("ctrace", 0) or 0)
@@ -316,7 +333,10 @@ class Connection:
             pass                      # debug taps, accepted
         elif cmd is not None and cmd.startswith("devl."):
             # "SET devl.p0=1.5" — developer scratch params readable
-            # from extensions (`rx/rx_cmd.cpp` CMD_DEVL)
+            # from extensions (`rx/rx_cmd.cpp` CMD_DEVL); mutates
+            # server-global state, so admin only
+            if not self.is_admin:
+                return
             for k, v in p.items():
                 if k.startswith("devl."):
                     try:
@@ -896,7 +916,6 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         ws = web.WebSocketResponse()
         await ws.prepare(request)
         from ..utils.log import get_log
-        authed = False
         self.admin_wss.add(ws)
         try:
             await self._ws_admin_loop(ws, get_log,
