@@ -169,6 +169,19 @@ def main():
         + (f", MFU {mfu*100:.1f}% of {peak/1e12:.0f} TF bf16 peak"
            if mfu is not None else ""))
 
+    # serving bench: the SERVER path with live websocket clients and
+    # autorun decoders (channels SERVED, not just computed); shares
+    # the compiled engine program via the persistent jit cache
+    serve = None
+    if os.environ.get("BENCH_SERVE", "1") != "0":
+        del state, tuning, x, step, compiled, lowered, taps
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from bench_serve import run_serve_bench
+        log("serve bench ...")
+        serve = run_serve_bench()
+        log(f"serve: {serve}")
+
     print(json.dumps({
         "metric": "realtime_ddc_demod_channels_per_chip",
         "value": round(float(channels_rt), 1),
@@ -190,6 +203,7 @@ def main():
                                  if mfu is not None else None),
             "device_kind": dev.device_kind,
             "stage2": os.environ.get("BENCH_STAGE2", "default"),
+            "serve": serve,
         },
     }))
 

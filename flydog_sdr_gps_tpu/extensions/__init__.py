@@ -71,6 +71,7 @@ from . import cw_decoder     # noqa: E402,F401
 from . import sig_gen        # noqa: E402,F401
 from . import wspr           # noqa: E402,F401
 from . import ft8            # noqa: E402,F401
+from . import ft4            # noqa: E402,F401
 from . import tdoa           # noqa: E402,F401
 from . import noise_ui       # noqa: E402,F401
 from . import fsk            # noqa: E402,F401

@@ -3,21 +3,30 @@
 Reference: `extensions/DRM/` vendors Dream 2.1.1 (2.9 MB C++ incl.
 FDK-AAC), forked per channel with shmem IPC (`DRM.cpp:155-158,377`).
 DRM is a COFDM broadcast system; this module implements the receiver
-stack in the image of mode B at the framework's 12 kHz channel rate:
+stack for robustness mode B in the 10 kHz channel (spectrum occupancy
+3) at the framework's 12 kHz channel rate:
 
-- OFDM: Tu = 256 samples (46.875 Hz carrier spacing), 64-sample
-  guard interval (1/4, mode B's ratio), 320 samples/symbol,
-  15 symbols/frame, 3 frames/superframe — DRM mode B numerology.
-- Cells: 4 boosted frequency pilots (AFC), scattered gain pilots on a
-  diagonal grid (channel estimation), 78 FAC cells (QPSK), SDC block
-  (frame 0 of each superframe, QPSK), remaining cells MSC (16-QAM).
+- OFDM cell mapping: the REAL ETSI ES 201 980 section 8.4 layout via
+  :mod:`drm_tables` (same tables as Dream's `CellMappingTable.cpp`):
+  carriers k = -103..103 (Tu = 256 samples at 12 kHz = mode B's
+  46.875 Hz spacing, 64-sample 1/4 guard), scattered gain pilots on
+  the k ≡ 1+2(s mod 3) (mod 6) lattice with the W/Z/Q phase formula,
+  time/frequency reference pilots, 65 FAC cells per frame at the
+  table positions, SDC in the first 2 superframe symbols, remaining
+  cells MSC.
 - Coding: K=7 (171,133) convolutional code (shared Viterbi,
-  `models/gps/galileo.py`) at rate 1/2 on all three logical channels;
-  FAC = 64 bits + CRC-8 per frame (service parameters), SDC and MSC
-  are length+CRC-16 framed byte streams, block-interleaved.
+  `models/gps/galileo.py`) at rate 1/2 on SDC/MSC; the FAC block is
+  the ETSI 72-bit parameter set (channel + service params + DRM
+  CRC-8) rate-punctured to the 130 coded bits its 65 QPSK cells
+  carry.  (Deviation from ETSI: the reference codes FAC with the
+  punctured rate-1/4 MLC mother code, `dream/MLC/`; here the same
+  r=1/2 K=7 code used elsewhere is punctured 6->5 — the cell layout
+  and FAC bit content are spec-true, the FEC is not yet.)
+- SDC and MSC are length+CRC-16 framed byte streams,
+  block-interleaved, QPSK / 16-QAM.
 - Sync: guard-interval correlation (symbol timing + fractional CFO),
-  frequency-pilot cross-check, pilot-grid channel estimator with
-  time/frequency interpolation, zero-forcing equalization.
+  pilot-grid channel estimator with frequency interpolation,
+  zero-forcing equalization.
 
 Scope note: MSC payload is delivered as a byte stream (data services /
 text). AAC audio decode is NOT implemented — the reference's audio
@@ -30,79 +39,42 @@ from __future__ import annotations
 import numpy as np
 
 from . import Extension, ext_register
+from . import drm_tables
 from ..models.gps.galileo import conv_encode_k7, viterbi_decode_k7
 from .hfdl import crc16_ccitt
 
 FS = 12000.0
-TU = 256                     # useful symbol, samples
-GUARD = 64                   # cyclic prefix, samples
+CMAP = drm_tables.make_cell_map("B", 3, fs=FS)
+TU = CMAP.tu                 # 256 samples (46.875 Hz spacing)
+GUARD = CMAP.guard           # 64 samples (1/4 guard, mode B)
 TS = TU + GUARD              # 320 samples/symbol
-SYMS_PER_FRAME = 15
-FRAMES_PER_SUPER = 3
-KMIN, KMAX = -91, 91         # active carriers (DC unused)
+SYMS_PER_FRAME = CMAP.syms_per_frame        # 15
+FRAMES_PER_SUPER = drm_tables.NUM_FRAMES_IN_SUPERFRAME
+KMIN, KMAX = CMAP.kmin, CMAP.kmax           # -103..103 (SO_3)
 
-FREQ_PILOTS = {-80: 0.0, -40: np.pi / 2, 40: np.pi, 80: 3 * np.pi / 2}
-PILOT_BOOST = np.sqrt(2.0)
-SCATTER_STEP = 4             # every 4th carrier is a gain pilot,
-SCATTER_SHIFT = 2            # advancing 2 carriers per symbol
+_PILOT_FLAGS = (drm_tables.CM_SCAT_PI | drm_tables.CM_TI_PI
+                | drm_tables.CM_FRE_PI)
 
 
-def _carriers() -> np.ndarray:
-    k = np.arange(KMIN, KMAX + 1)
-    return k[k != 0]
+def pilot_cells(ssym: int) -> tuple[np.ndarray, np.ndarray]:
+    """(carriers k, complex pilot values) of superframe symbol
+    ``ssym`` (phases/gains per ETSI 8.4, from the cell map)."""
+    ks = CMAP.cells_of(_PILOT_FLAGS, ssym)
+    return ks, CMAP.pilots[ssym, ks - KMIN]
 
 
-CARRIERS = _carriers()
-
-
-def _pilot_phase(sym: int, k: int) -> float:
-    """Deterministic scattered-pilot phase (PN on (sym, k))."""
-    h = (sym * 131 + k * 31 + 7) % 256
-    return 2 * np.pi * h / 256.0
-
-
-def scattered_positions(sym: int) -> np.ndarray:
-    offs = (sym * SCATTER_SHIFT) % SCATTER_STEP
-    k = CARRIERS[(CARRIERS - KMIN) % SCATTER_STEP == offs]
-    return k
-
-
-def fac_positions() -> list[tuple[int, int]]:
-    """78 (symbol, carrier) FAC cells spread over symbols 2..14."""
-    pos = []
-    rng = np.random.default_rng(1234)       # fixed — part of the spec
-    for sym in range(2, SYMS_PER_FRAME):
-        scat = set(scattered_positions(sym).tolist())
-        avail = [int(k) for k in CARRIERS
-                 if k not in scat and k not in FREQ_PILOTS
-                 and -30 <= k <= 30]
-        pick = rng.choice(len(avail), size=6, replace=False)
-        pos.extend((sym, avail[i]) for i in sorted(pick))
-    return pos[:78]
-
-
-FAC_CELLS = fac_positions()
-_FAC_SET = set(FAC_CELLS)
-
-SDC_SYMBOLS = (0, 1)         # of frame 0 in each superframe
+def fac_cells_of(fsym: int) -> np.ndarray:
+    """FAC carriers of frame symbol ``fsym`` (table positions)."""
+    return CMAP.cells_of(drm_tables.CM_FAC, SYMS_PER_FRAME + fsym)
 
 
 def data_cells(sym: int, frame_in_super: int,
-               want_sdc: bool) -> list[int]:
-    """MSC (or SDC) carriers of one symbol."""
-    scat = set(scattered_positions(sym).tolist())
-    out = []
-    is_sdc_sym = frame_in_super == 0 and sym in SDC_SYMBOLS
-    if want_sdc != is_sdc_sym:
-        return out
-    for k in CARRIERS:
-        k = int(k)
-        if k in scat or k in FREQ_PILOTS:
-            continue
-        if (sym, k) in _FAC_SET:
-            continue
-        out.append(k)
-    return out
+               want_sdc: bool) -> np.ndarray:
+    """MSC (or SDC) carriers of frame symbol ``sym`` of frame
+    ``frame_in_super``."""
+    ssym = frame_in_super * SYMS_PER_FRAME + sym
+    flag = drm_tables.CM_SDC if want_sdc else drm_tables.CM_MSC
+    return CMAP.cells_of(flag, ssym)
 
 
 # ---------------------------------------------------------------------------
@@ -154,17 +126,14 @@ def qam16_soft(cells: np.ndarray) -> np.ndarray:
 
 
 def crc8(data_bits: np.ndarray) -> int:
-    """CRC-8 (poly 0xD5) over a bit array, MSB first."""
-    crc = 0
+    """DRM CRC-8 (ETSI ES 201 980 annex D): poly x^8+x^4+x^3+x^2+1,
+    init all-ones, output inverted, MSB first (verified equivalent to
+    Dream's `util/CRC.cpp` shift-register form)."""
+    reg = 0xFF
     for b in data_bits:
-        crc = ((crc << 1) | int(b)) & 0x1FF
-        if crc & 0x100:
-            crc ^= 0x1D5
-    for _ in range(8):
-        crc = (crc << 1) & 0x1FF
-        if crc & 0x100:
-            crc ^= 0x1D5
-    return crc & 0xFF
+        fb = ((reg >> 7) & 1) ^ int(b)
+        reg = ((reg << 1) & 0xFF) ^ (0x1D if fb else 0)
+    return reg ^ 0xFF
 
 
 def interleave(x: np.ndarray, rows: int = 6) -> np.ndarray:
@@ -180,21 +149,45 @@ def deinterleave(x: np.ndarray, rows: int = 6) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# FAC payload: service parameters (64 bits + CRC-8)
+# FAC block: the ETSI 72-bit parameter set (channel params 20 bits +
+# service params 44 bits + CRC-8), field layout per the reference's
+# `dream/FAC/FAC.cpp:37-215` (ETSI ES 201 980 section 6.3)
 # ---------------------------------------------------------------------------
+
+_FAC_IDENTITY = (3, 1, 2)      # identity field per superframe frame
+_FAC_FRAME_OF = {3: 0, 0: 0, 1: 1, 2: 2}
+_MSC_MODE_OF_QAM = {64: 0, 16: 3}       # CS_3_SM / CS_2_SM
+_QAM_OF_MSC_MODE = {0: 64, 1: 64, 2: 64, 3: 16}
+
 
 def fac_pack(service_id: int, label_idx: int, msc_qam: int = 16,
              frame_idx: int = 0) -> np.ndarray:
+    """72 FAC bits: channel + service parameters + CRC-8."""
     bits = np.zeros(64, np.uint8)
+    pos = 0
 
-    def put(val, lo, n):
+    def put(val, n):
+        nonlocal pos
         for i in range(n):
-            bits[lo + i] = (val >> (n - 1 - i)) & 1
-    put(service_id, 0, 24)
-    put(label_idx, 24, 8)
-    put({4: 0, 16: 1, 64: 2}[msc_qam], 32, 2)
-    put(frame_idx, 34, 2)
-    put(0x5A, 56, 8)                      # fixed pattern (spare)
+            bits[pos + i] = (val >> (n - 1 - i)) & 1
+        pos += n
+    put(0, 1)                             # base/enhancement: base
+    put(_FAC_IDENTITY[frame_idx], 2)      # identity (frame position)
+    put(3, 4)                             # spectrum occupancy SO_3
+    put(1, 1)                             # interleaver depth: short
+    put(_MSC_MODE_OF_QAM[msc_qam], 2)     # MSC mode
+    put(1, 1)                             # SDC mode: CS_1_SM (QPSK)
+    put(4, 4)                             # number of services: 1 audio
+    put(0, 3)                             # reconfiguration index
+    put(0, 2)                             # rfu
+    put(service_id & 0xFFFFFF, 24)        # service identifier
+    put(0, 2)                             # short ID
+    put(0, 1)                             # CA indication
+    put(0, 4)                             # language
+    put(0, 1)                             # audio/data flag: audio
+    put(label_idx & 0x1F, 5)              # service descriptor
+    put(0, 7)                             # rfa
+    assert pos == 64
     c = crc8(bits)
     return np.concatenate([bits, np.array(
         [(c >> (7 - i)) & 1 for i in range(8)], np.uint8)])
@@ -209,10 +202,32 @@ def fac_unpack(bits72: np.ndarray) -> dict | None:
         for i in range(n):
             v = (v << 1) | int(bits72[lo + i])
         return v
-    if get(56, 8) != 0x5A:
+    if get(3, 4) != 3:                    # spectrum occupancy SO_3
         return None
-    return {"service_id": get(0, 24), "label_idx": get(24, 8),
-            "msc_qam": [4, 16, 64][get(32, 2)], "frame_idx": get(34, 2)}
+    return {"service_id": get(20, 24),
+            "label_idx": get(52, 5),
+            "msc_qam": _QAM_OF_MSC_MODE[get(8, 2)],
+            "frame_idx": _FAC_FRAME_OF.get(get(1, 2), 0)}
+
+
+# FAC channel coding: 72 bits + 6 tail -> 156 coded bits, punctured
+# 6->5 to the 130 bits carried by the 65 QPSK FAC cells
+_FAC_KEEP = np.array([i % 6 != 5 for i in range(156)])
+NUM_FAC_CELLS = drm_tables.NUM_FAC_CELLS
+
+
+def fac_encode(bits72: np.ndarray) -> np.ndarray:
+    coded = conv_encode_k7(np.concatenate(
+        [np.asarray(bits72, np.uint8), np.zeros(6, np.uint8)]))
+    return coded[_FAC_KEEP]
+
+
+def fac_soft_decode(soft130: np.ndarray) -> dict | None:
+    """130 soft coded bits (positive = 1) -> FAC dict or None."""
+    full = np.zeros(156)
+    full[_FAC_KEEP] = soft130             # punctured slots = erasures
+    bits = viterbi_decode_k7(full, tail=True)
+    return fac_unpack(bits[:72])
 
 
 # ---------------------------------------------------------------------------
@@ -242,29 +257,27 @@ class DrmTx:
         si, mi = 0, 0
         out = []
         for f in range(FRAMES_PER_SUPER):
-            fac_cells = qpsk_map(interleave(self._fit(self._coded(
+            fac_cells = qpsk_map(interleave(fac_encode(
                 fac_pack(self.service_id, self.label_idx,
-                         frame_idx=f)[:72]), 78 * 2)))
+                         frame_idx=f)[:72])))
             fi = 0
             for sym in range(SYMS_PER_FRAME):
+                ssym = f * SYMS_PER_FRAME + sym
                 spec = np.zeros(TU, np.complex128)
 
                 def put(k, v):
                     spec[k % TU] = v
-                for k, ph in FREQ_PILOTS.items():
-                    put(k, PILOT_BOOST * np.exp(1j * ph))
-                for k in scattered_positions(sym):
-                    put(int(k), PILOT_BOOST
-                        * np.exp(1j * _pilot_phase(sym, int(k))))
-                for (s, k) in FAC_CELLS:
-                    if s == sym:
-                        put(k, fac_cells[fi])
-                        fi += 1
+                ks, vals = pilot_cells(ssym)
+                for k, v in zip(ks, vals):
+                    put(int(k), v)
+                for k in fac_cells_of(sym):
+                    put(int(k), fac_cells[fi])
+                    fi += 1
                 for k in data_cells(sym, f, want_sdc=True):
-                    put(k, sdc_cells[si])
+                    put(int(k), sdc_cells[si])
                     si += 1
                 for k in data_cells(sym, f, want_sdc=False):
-                    put(k, msc_cells[mi])
+                    put(int(k), msc_cells[mi])
                     mi += 1
                 td = np.fft.ifft(spec) * np.sqrt(TU)
                 out.append(np.concatenate([td[-GUARD:], td]))
@@ -378,14 +391,14 @@ class DrmRx:
         seg = seg * np.exp(-2j * np.pi * cfo * t / TU)
         return np.fft.fft(seg) / np.sqrt(TU)
 
-    def _estimate_channel(self, spec, sym):
-        """LS estimate on this symbol's scattered pilots, linear
-        interpolation across carriers."""
-        ks = scattered_positions(sym)
-        ref = PILOT_BOOST * np.exp(1j * np.array(
-            [_pilot_phase(sym, int(k)) for k in ks]))
+    def _estimate_channel(self, spec, ssym):
+        """LS estimate on this symbol's pilot cells (scattered + time
+        + frequency references), linear interpolation across
+        carriers.  Pilot values repeat per frame, so ``ssym`` may be
+        any superframe symbol with the right frame phase."""
+        ks, ref = pilot_cells(ssym)
         h = spec[ks % TU] / ref
-        k_all = CARRIERS
+        k_all = np.arange(KMIN, KMAX + 1)
         hr = np.interp(k_all, ks, np.real(h))
         hi = np.interp(k_all, ks, np.imag(h))
         return dict(zip(k_all.tolist(), hr + 1j * hi))
@@ -393,21 +406,22 @@ class DrmRx:
     def _try_fac(self, bb, s0, cfo) -> dict | None:
         cells = []
         for sym in range(SYMS_PER_FRAME):
-            ks = [k for (s, k) in FAC_CELLS if s == sym]
-            if not ks:
+            ks = fac_cells_of(sym)
+            if len(ks) == 0:
                 continue
             spec = self._fft_symbol(bb, s0, sym, cfo)
             if spec is None:
                 return None
-            hmap = self._estimate_channel(spec, sym)
+            # pilots depend only on the frame symbol; row 15+sym has
+            # the same pilot cells for any frame
+            hmap = self._estimate_channel(spec, SYMS_PER_FRAME + sym)
             for k in ks:
-                hh = hmap[k]
+                hh = hmap[int(k)]
                 if abs(hh) < 1e-9:
                     return None
                 cells.append(spec[k % TU] / hh)
         soft = deinterleave(qpsk_soft(np.asarray(cells)))
-        bits = viterbi_decode_k7(soft[:156], tail=False)
-        return fac_unpack(bits[:72])
+        return fac_soft_decode(soft)
 
     def _demod_super(self, bb, start, cfo):
         sdc_cells, msc_cells, facs = [], [], []
@@ -418,14 +432,15 @@ class DrmRx:
                 return None
             facs.append(fac)
             for sym in range(SYMS_PER_FRAME):
+                ssym = f * SYMS_PER_FRAME + sym
                 spec = self._fft_symbol(bb, s0, sym, cfo)
                 if spec is None:
                     return None
-                hmap = self._estimate_channel(spec, sym)
+                hmap = self._estimate_channel(spec, ssym)
                 for k in data_cells(sym, f, want_sdc=True):
-                    sdc_cells.append(spec[k % TU] / hmap[k])
+                    sdc_cells.append(spec[k % TU] / hmap[int(k)])
                 for k in data_cells(sym, f, want_sdc=False):
-                    msc_cells.append(spec[k % TU] / hmap[k])
+                    msc_cells.append(spec[k % TU] / hmap[int(k)])
         out = [("drm_fac", facs[0])]
         sdc = self._decode_stream(qpsk_soft(np.asarray(sdc_cells)))
         if sdc is not None:

@@ -28,24 +28,33 @@ from ..utils.log import lprintf
 
 
 class AutorunUnit:
-    """One background decoder slot (an arun_* instance)."""
+    """One background decoder slot (an arun_* instance).
 
-    def __init__(self, ext_name: str, freq_khz: float):
-        self.ext_name = ext_name
-        self.freq_khz = freq_khz
+    ``slots`` holds one or more (ext_name, freq_khz) pairs; with more
+    than one the unit ALTERNATES between them after each completed
+    capture cycle (e.g. FT8 and FT4 time-sharing one rx channel, like
+    WSJT-X's 'hound' alternation)."""
+
+    def __init__(self, slots: list[tuple[str, float]]):
+        self.slots = slots
+        self.slot_idx = 0
         self.rx_chan: int | None = None
         self.ext = None
+
+    @property
+    def ext_name(self) -> str:
+        return self.slots[self.slot_idx][0]
+
+    @property
+    def freq_khz(self) -> float:
+        return self.slots[self.slot_idx][1]
 
     def __repr__(self):
         return (f"AutorunUnit({self.ext_name}@{self.freq_khz}kHz, "
                 f"ch={self.rx_chan})")
 
 
-def parse_spec(spec: str) -> tuple[str, float]:
-    """"wspr:7038.6" / "FT8:14074" -> (registered ext name, kHz).
-    Frequencies >= 100000 are taken as Hz (so "wspr:7.0386M"-style
-    numeric Hz also works)."""
-    name, _, f = spec.partition(":")
+def _parse_freq_khz(f: str) -> float:
     f = f.strip().upper()
     mult = 1.0
     if f.endswith("M"):
@@ -53,11 +62,32 @@ def parse_spec(spec: str) -> tuple[str, float]:
     freq_khz = float(f) * mult
     if freq_khz >= 100e3:          # given in Hz
         freq_khz /= 1e3
+    return freq_khz
+
+
+def _resolve_ext(name: str) -> str:
     # tolerate case-insensitive extension names
     for reg in ext_mod.ext_list():
         if reg.lower() == name.strip().lower():
-            return reg, freq_khz
+            return reg
     raise ValueError(f"autorun: unknown extension {name!r}")
+
+
+def parse_spec(spec: str) -> list[tuple[str, float]]:
+    """"wspr:7038.6" / "FT8:14074" -> [(registered ext name, kHz)].
+
+    Alternating form: "FT8/FT4:14074/14080" time-shares one channel
+    between the listed decoders (paired with the listed dials).
+    """
+    name, _, f = spec.partition(":")
+    names = [_resolve_ext(n) for n in name.split("/")]
+    freqs = [_parse_freq_khz(x) for x in f.split("/")]
+    if len(freqs) == 1:
+        freqs = freqs * len(names)
+    if len(freqs) != len(names):
+        raise ValueError(f"autorun: {len(names)} exts need "
+                         f"{len(names)} dials in {spec!r}")
+    return list(zip(names, freqs))
 
 
 class AutorunManager:
@@ -65,7 +95,7 @@ class AutorunManager:
 
     def __init__(self, server, specs: list[str], upload=None):
         self.server = server
-        self.units = [AutorunUnit(*parse_spec(s)) for s in specs]
+        self.units = [AutorunUnit(parse_spec(s)) for s in specs]
         self.spots: list[dict] = []      # ring of decoded spots
         self.upload = upload             # egress-gated by default
         self.uploads_gated = 0
@@ -108,6 +138,19 @@ class AutorunManager:
                 return True
         return False
 
+    def _rotate(self, unit: AutorunUnit) -> None:
+        """Switch an alternating unit to its next (ext, dial) slot."""
+        if unit.ext is not None:
+            unit.ext.stop()
+        unit.slot_idx = (unit.slot_idx + 1) % len(unit.slots)
+        eng = self.server.engine
+        eng.set_channel(unit.rx_chan, freq_hz=unit.freq_khz * 1e3,
+                        mode=demod.MODE_USB, passband=(300.0, 2700.0))
+        unit.ext = ext_mod.ext_create(unit.ext_name, eng, unit.rx_chan)
+        unit.ext.start()
+        lprintf("autorun: ch%d alternates to %s @ %.4f kHz",
+                unit.rx_chan, unit.ext_name, unit.freq_khz)
+
     def _park(self, unit: AutorunUnit) -> None:
         lprintf("autorun: %s yields ch%d", unit.ext_name, unit.rx_chan)
         if unit.ext is not None:
@@ -126,7 +169,12 @@ class AutorunManager:
         for unit in self.units:
             if unit.ext is None:
                 continue
-            for tag, payload in unit.ext.process_block(taps):
+            msgs = unit.ext.process_block(taps)
+            if msgs and len(unit.slots) > 1:
+                # a capture cycle completed (status/decodes emitted):
+                # rotate to the alternate decoder/dial on this channel
+                self._rotate(unit)
+            for tag, payload in msgs:
                 if not tag.endswith("_decode"):
                     continue
                 spot = dict(

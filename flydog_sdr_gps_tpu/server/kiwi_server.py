@@ -45,6 +45,45 @@ from . import packets
 from . import wf_service
 
 
+class _Cols:
+    """(block, K) host array addressed as [:, absolute_channel].
+
+    The block loop gathers ONLY the subscribed channels' columns
+    on-device before the host fetch (C=4096 full-audio fetch is
+    ~32 MB/block over the ~1.4 GB/s axon tunnel — the serving wall);
+    this adapter lets per-channel consumers (extensions, autorun)
+    keep indexing by absolute channel number.
+    """
+
+    def __init__(self, arr: np.ndarray, chmap: dict[int, int]):
+        self._arr = arr
+        self._chmap = chmap
+
+    def __getitem__(self, key):
+        sl, ch = key
+        return self._arr[sl, self._chmap[int(ch)]]
+
+
+class _CplxCols:
+    def __init__(self, re: np.ndarray, im: np.ndarray,
+                 chmap: dict[int, int]):
+        self.re = _Cols(re, chmap)
+        self.im = _Cols(im, chmap)
+
+
+class HostTaps:
+    """Host-side view of one block's taps for the subscribed channels
+    (same attribute surface extensions use on the device RxTaps)."""
+
+    def __init__(self, audio, audio2, iq_re, iq_im, smeter,
+                 chmap: dict[int, int]):
+        self.audio = _Cols(audio, chmap)
+        self.audio2 = _Cols(audio2, chmap)
+        self.iq_post_agc = _CplxCols(iq_re, iq_im, chmap)
+        self.smeter_dbm = smeter            # full (C,) host array
+        self.chmap = chmap
+
+
 class Connection:
     """One paired client (SND and/or W/F socket sharing a channel)."""
 
@@ -640,6 +679,9 @@ class KiwiServer:
         self.restart_requested = False
         self._restart_event = asyncio.Event()
         self.policy_period = 5.0
+        # on-device channel-column gather for the per-block host fetch
+        # (one compile per power-of-2 subscriber bucket)
+        self._gather_jit = None
         # background decoders on idle channels (rx_util.cpp arun_*)
         from . import autorun as autorun_mod
         self.autorun = (autorun_mod.AutorunManager(self, autorun)
@@ -1030,6 +1072,17 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         self.snr_history = self.snr_history[-168:]   # a week at 1/hr
         return meas
 
+    def _gather_cols(self, audio, audio2, iq_re, iq_im, idx):
+        """Slice the subscribed channels' columns on-device (one jit,
+        reused across bucket sizes by shape)."""
+        if self._gather_jit is None:
+            import jax
+            import jax.numpy as jnp
+            self._gather_jit = jax.jit(
+                lambda a, b, c, d, i: tuple(
+                    jnp.take(x, i, axis=1) for x in (a, b, c, d)))
+        return self._gather_jit(audio, audio2, iq_re, iq_im, idx)
+
     # -- stream scheduler ------------------------------------------------
     async def block_loop(self):
         """Advance the engine and fan out packets, paced to real time
@@ -1051,26 +1104,52 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 continue
             # ONE batched device fetch per block: the axon tunnel costs
             # ~50 ms latency per round trip, so per-connection fetches
-            # would blow the 42.7 ms real-time budget
-            need_iq = any(c.iq_mode for c in self.conns.values())
-            need_st = any(c.stereo_mode for c in self.conns.values())
+            # would blow the 42.7 ms real-time budget.  Only the
+            # SUBSCRIBED channels' columns cross the link: at C=4096
+            # the full audio is ~32 MB/block (the serving wall); the
+            # K-subscriber gather is K/4096 of that, sliced on-device.
             import jax
+            if self.autorun is not None:
+                self.autorun.tick()     # claim before the gather so a
+                #                         new unit's column is fetched
+            subs = sorted(
+                {c.rx_chan for c in self.conns.values()
+                 if c.rx_chan is not None and c.authed}
+                | (self.autorun.channels
+                   if self.autorun is not None else set()))
             peak = (jnp.max(jnp.abs(self.engine._last_x))
                     if self.engine._last_x is not None else jnp.float32(0))
-            fetch = (taps.audio, taps.smeter_dbm, peak) + (
-                (taps.iq_post_agc.re, taps.iq_post_agc.im)
-                if need_iq else ()) + (
-                (taps.audio2,) if need_st else ())
+            if subs:
+                bucket = 1
+                while bucket < len(subs):
+                    bucket *= 2
+                idx = np.zeros(bucket, np.int32)
+                idx[:len(subs)] = subs
+                cols = self._gather_cols(
+                    taps.audio, taps.audio2, taps.iq_post_agc.re,
+                    taps.iq_post_agc.im, jnp.asarray(idx))
+            else:
+                cols = ()
+            fetch = cols + (taps.smeter_dbm, peak)
             got = await loop.run_in_executor(None, jax.device_get, fetch)
-            audio_np, smeter = got[0], got[1]
+            smeter = got[-2]
             # ADC overflow: input at/over full scale (the reference
             # latches the FPGA ADC_OVFL line into the SND header and
             # /status, rx/rx_util.cpp)
-            adc_ovfl = bool(got[2] >= 0.99)
+            adc_ovfl = bool(got[-1] >= 0.99)
             if adc_ovfl:
                 self.adc_ov_count += 1
-            iq_np = (got[3], got[4]) if need_iq else None
-            audio2_np = got[-1] if need_st else None
+            chmap = {ch: i for i, ch in enumerate(subs)}
+            if subs:
+                host_taps = HostTaps(got[0], got[1], got[2], got[3],
+                                     smeter, chmap)
+                audio_np = host_taps.audio
+                audio2_np = host_taps.audio2
+                iq_np = (host_taps.iq_post_agc.re,
+                         host_taps.iq_post_agc.im)
+            else:
+                host_taps = None
+                audio_np = audio2_np = iq_np = None
             # ONE shared waterfall ingest per block serves every
             # attached connection (reference: <=4 shared WF DDCs)
             if self.wf_enabled and any(
@@ -1094,17 +1173,17 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                                     audio_np[:, conn.rx_chan])
                         elif conn.wf_slot is not None:
                             await conn.emit_wf()
-                    if conn.ext is not None:
+                    if conn.ext is not None and host_taps is not None \
+                            and conn.rx_chan in chmap:
                         msgs = await loop.run_in_executor(
-                            None, conn.ext.process_block, taps)
+                            None, conn.ext.process_block, host_taps)
                         for tag, payload in msgs:
                             await conn.send_ext(tag.encode(), payload)
                 except ConnectionResetError:
                     pass
-            if self.autorun is not None:
-                self.autorun.tick()
+            if self.autorun is not None and host_taps is not None:
                 await loop.run_in_executor(
-                    None, self.autorun.process_block, taps)
+                    None, self.autorun.process_block, host_taps)
             if self.realtime:
                 next_t += block_period
                 delay = next_t - time.monotonic()

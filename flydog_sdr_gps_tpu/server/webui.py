@@ -8,12 +8,17 @@ equivalent: one self-contained HTML document served at `/`.
 
 The client speaks the same wire protocol (`server/packets.py`):
 - `ws://host/{ts}/SND` — auth, `SET mod=... low_cut/high_cut/freq=`,
-  s16 big-endian audio with an S-meter header on every packet.
-- `ws://host/{ts}/W/F` — `SET zoom=.. start=..`, 1024-px u8 rows.
+  IMA-ADPCM compressed audio by DEFAULT (`SET compression=1`, the
+  reference's primary wire format `rx/rx_sound.cpp:1121-1139`) with
+  an S-meter header on every packet; s16 and IQ-header packets also
+  handled per the flags byte.
+- `ws://host/{ts}/W/F` — `SET zoom=.. start=..`, 1024-px u8 rows,
+  ADPCM-compressed at zoom>0 (flag bit 0x10000, fresh codec state +
+  10-byte pad per row, `rx_waterfall.cpp:1625-1628`).
 
-Kept deliberately compact: uncompressed streams (`SET compression=0`),
-buffer-queue Web Audio playback at the native 12 kHz channel rate,
-canvas waterfall with the classic black-blue-green-yellow-red map.
+Interaction mirrors openwebrx.js: click to tune, mouse-drag pans the
+waterfall, the scroll wheel zooms about the cursor (SET zoom/start
+round-trip), slider zoom recenters on the tuned frequency.
 """
 
 from __future__ import annotations
@@ -111,6 +116,35 @@ for (let i = 0; i < 256; i++) {
 function ts() { return "kiwi_" + Math.floor(Date.now() / 1000); }
 const TS = ts();
 
+// ---- IMA-ADPCM decoder (rx/csdr/ima_adpcm.cpp tables) ----
+const ADPCM_STEP = [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+  41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,
+  279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,
+  1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,
+  5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,
+  18500,20350,22385,24623,27086,29794,32767];
+const ADPCM_IDX = [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8];
+function adpcmDecode(u8, st, lo, hi) {
+  // low nibble first; predictor clamped to [lo, hi]
+  const out = new Int32Array(u8.length * 2);
+  let pred = st.pred, idx = st.idx;
+  for (let i = 0; i < out.length; i++) {
+    const nib = (i & 1) ? (u8[i >> 1] >> 4) : (u8[i >> 1] & 0xF);
+    const step = ADPCM_STEP[idx];
+    let d = step >> 3;
+    if (nib & 1) d += step >> 2;
+    if (nib & 2) d += step >> 1;
+    if (nib & 4) d += step;
+    pred = (nib & 8) ? pred - d : pred + d;
+    pred = Math.max(lo, Math.min(hi, pred));
+    idx = Math.max(0, Math.min(88, idx + ADPCM_IDX[nib]));
+    out[i] = pred;
+  }
+  st.pred = pred; st.idx = idx;
+  return out;
+}
+const sndAdpcm = { pred: 0, idx: 0 };
+
 function setMsg(ws, s) { if (ws && ws.readyState === 1) ws.send("SET " + s); }
 
 function retune() {
@@ -122,10 +156,12 @@ function retune() {
   retuneWf();
 }
 
+let wfCf = null;      // waterfall view center (Hz); null = follow tune
 function retuneWf() {
   const span = UI_SRATE / Math.pow(2, zoom);
-  let cf = freq_khz * 1000;
+  let cf = wfCf === null ? freq_khz * 1000 : wfCf;
   cf = Math.max(span / 2, Math.min(cf, UI_SRATE - span / 2));
+  if (wfCf !== null) wfCf = cf;
   const start = (cf - span / 2) / HZ_PER_START;
   setMsg(wf_ws, "zoom=" + zoom + " start=" + start.toFixed(0));
   wfLeft = cf - span / 2; wfSpan = span;
@@ -171,7 +207,9 @@ function openSnd() {
   snd_ws.onopen = () => {
     setMsg(snd_ws, "auth t=kiwi p=");
     setMsg(snd_ws, "ident_user=webui");
-    setMsg(snd_ws, "compression=0");
+    // ADPCM on: the reference's default wire format
+    setMsg(snd_ws, "compression=1");
+    sndAdpcm.pred = 0; sndAdpcm.idx = 0;
     retune();
   };
   snd_ws.onmessage = (e) => {
@@ -188,11 +226,21 @@ function openSnd() {
     if (tag !== "SND") return;     // MSG frames: ignore (params known)
     pkts++;
     const dv = new DataView(e.data);
+    const flags = u8[3];
     const smeter = dv.getUint16(8, false) / 10 - 127;
     updSmeter(smeter);
-    const pcm = new Int16Array((u8.length - 10) / 2);
-    for (let i = 0; i < pcm.length; i++)
-      pcm[i] = dv.getInt16(10 + 2 * i, false);   // big-endian
+    // header: 10 bytes; IQ-mode packets carry a GPS-timestamp header
+    // extension (+10 bytes, packets.snd_packet_iq)
+    const off = (flags & 0x08) ? 20 : 10;
+    let pcm;
+    if (flags & 0x10) {            // SND_FLAG_COMPRESSED
+      pcm = adpcmDecode(u8.subarray(off), sndAdpcm, -32768, 32767);
+    } else {
+      const le = !!(flags & 0x80);
+      pcm = new Int32Array((u8.length - off) / 2);
+      for (let i = 0; i < pcm.length; i++)
+        pcm[i] = dv.getInt16(off + 2 * i, le);
+    }
     if (actx) playPcm(pcm);
   };
   snd_ws.onclose = () => setTimeout(openSnd, 2000);
@@ -225,7 +273,7 @@ function openWf() {
   wf_ws.binaryType = "arraybuffer";
   wf_ws.onopen = () => {
     setMsg(wf_ws, "auth t=kiwi p=");
-    setMsg(wf_ws, "compression=0");
+    setMsg(wf_ws, "wf_comp=1");
     setMsg(wf_ws, "wf speed=3");
     retuneWf();
   };
@@ -241,7 +289,15 @@ function openWf() {
     }
     if (String.fromCharCode(u8[0], u8[1], u8[2], u8[3]) !== "W/F ")
       return;
-    drawRow(u8.subarray(16, 16 + 1024));
+    const dv = new DataView(e.data);
+    const wflags = dv.getUint32(8, true);
+    if (wflags & 0x10000) {        // ADPCM row: fresh state, 10-pad
+      const st = { pred: 0, idx: 0 };
+      const dec = adpcmDecode(u8.subarray(16), st, 0, 255);
+      drawRow(dec.subarray(10, 10 + 1024));
+    } else {
+      drawRow(u8.subarray(16, 16 + 1024));
+    }
   };
   wf_ws.onclose = () => setTimeout(openWf, 2000);
 }
@@ -283,16 +339,57 @@ function drawRow(row) {
 }
 
 // ---------------- controls ----------------
-document.getElementById("wf").addEventListener("click", (e) => {
-  const r = e.target.getBoundingClientRect();
+// click = tune; drag = pan the waterfall; wheel = zoom about cursor
+// (openwebrx.js canvas interaction semantics)
+let dragX = null, dragged = false;
+const wfEl = document.getElementById("wf");
+wfEl.addEventListener("pointerdown", (e) => {
+  dragX = e.clientX; dragged = false;
+  wfEl.setPointerCapture(e.pointerId);
+});
+wfEl.addEventListener("pointermove", (e) => {
+  if (dragX === null) return;
+  const dx = e.clientX - dragX;
+  if (Math.abs(dx) < 3 && !dragged) return;
+  dragged = true;
+  dragX = e.clientX;
+  const r = wfEl.getBoundingClientRect();
+  wfCf = (wfCf === null ? wfLeft + wfSpan / 2 : wfCf) -
+         dx / r.width * wfSpan;
+  retuneWf();
+});
+wfEl.addEventListener("pointerup", (e) => {
+  wfEl.releasePointerCapture(e.pointerId);
+  const wasDrag = dragged;
+  dragX = null; dragged = false;
+  if (wasDrag) return;
+  const r = wfEl.getBoundingClientRect();
   const fx = (e.clientX - r.left) / r.width;
   freq_khz = (wfLeft + fx * wfSpan) / 1000;
   document.getElementById("freq").value = freq_khz.toFixed(2);
   retune();
 });
+function wheelZoom(e) {
+  e.preventDefault();
+  const r = wfEl.getBoundingClientRect();
+  const fx = (e.clientX - r.left) / r.width;
+  const fcur = wfLeft + fx * wfSpan;
+  const nz = Math.max(0, Math.min(14, zoom + (e.deltaY < 0 ? 1 : -1)));
+  if (nz === zoom) return;
+  zoom = nz;
+  const nspan = UI_SRATE / Math.pow(2, zoom);
+  wfCf = fcur + (0.5 - fx) * nspan;
+  document.getElementById("zoom").value = zoom;
+  retuneWf();
+}
+wfEl.addEventListener("wheel", wheelZoom, { passive: false });
+document.getElementById("spec").addEventListener(
+    "wheel", wheelZoom, { passive: false });
 document.getElementById("freq").addEventListener("change", retune);
 document.getElementById("zoom").addEventListener("input", (e) => {
-  zoom = parseInt(e.target.value); retuneWf();
+  zoom = parseInt(e.target.value);
+  wfCf = null;                  // slider zoom recenters on the tune
+  retuneWf();
 });
 document.getElementById("agc").addEventListener("change", (e) => {
   setMsg(snd_ws, "agc=" + (e.target.checked ? 1 : 0) + " manGain=50");

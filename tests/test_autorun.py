@@ -20,13 +20,20 @@ PORT = 18081
 
 
 def test_parse_spec():
-    assert parse_spec("wspr:7038.6") == ("wspr", 7038.6)
-    assert parse_spec("ft8:14074") == ("FT8", 14074.0)
-    name, f = parse_spec("WSPR:7.0386M")
+    assert parse_spec("wspr:7038.6") == [("wspr", 7038.6)]
+    assert parse_spec("ft8:14074") == [("FT8", 14074.0)]
+    [(name, f)] = parse_spec("WSPR:7.0386M")
     assert name == "wspr" and f == pytest.approx(7038.6)
-    assert parse_spec("wspr:7038600") == ("wspr", 7038.6)
+    assert parse_spec("wspr:7038600") == [("wspr", 7038.6)]
+    # alternating FT8/FT4 slots on one channel
+    assert parse_spec("ft8/ft4:14074/14080") == \
+        [("FT8", 14074.0), ("FT4", 14080.0)]
+    assert parse_spec("ft8/ft4:14074") == \
+        [("FT8", 14074.0), ("FT4", 14074.0)]
     with pytest.raises(ValueError):
         parse_spec("nosuch:123")
+    with pytest.raises(ValueError):
+        parse_spec("ft8/ft4:1/2/3")
 
 
 def make_server():

@@ -157,7 +157,9 @@ def test_end_to_end_ws_audio_and_waterfall():
 
 async def webui_scenario():
     """Drive the server exactly as the embedded web UI's JS does
-    (`server/webui.py`): uncompressed SND + W/F, UI tuning formula."""
+    (`server/webui.py`): ADPCM-compressed SND (the reference's
+    primary wire format, `rx/rx_sound.cpp:1121-1139`), compressed W/F
+    rows at zoom>0, UI tuning formula."""
     server = make_server()
     runner = await server.start()
     try:
@@ -182,7 +184,7 @@ async def webui_scenario():
 
             snd = await ws_connect(session, "SND")
             await snd.send_str("SET auth t=kiwi p=")
-            await snd.send_str("SET compression=0")
+            await snd.send_str("SET compression=1")
             # scene tone at 14.201 MHz; tune 800 Hz below -> 800 Hz
             await snd.send_str(
                 "SET mod=usb low_cut=300 high_cut=2700 freq=14200.200")
@@ -206,20 +208,27 @@ async def webui_scenario():
                         continue
                     if handler(m.data):
                         return
+            snd_st = adpcm.AdpcmState()
             def on_snd(data):
                 if not data.startswith(b"SND"):
                     return False
                 flags = data[3]
-                assert not flags & packets.SND_FLAG_COMPRESSED
-                pcm.append(np.frombuffer(data[10:], ">i2"))
+                assert flags & packets.SND_FLAG_COMPRESSED
+                pcm.append(adpcm.decode(
+                    np.frombuffer(data[10:], np.uint8), snd_st))
                 return len(pcm) >= need_pkts
             def on_wf(data):
                 nonlocal row
                 if not data.startswith(b"W/F "):
                     return False
                 zoom_flags = struct.unpack("<I", data[8:12])[0]
-                assert not zoom_flags & packets.WF_FLAGS_COMPRESSION
-                row = np.frombuffer(data[16:16 + 1024], np.uint8)
+                # zoom>0 rows ride ADPCM with a fresh codec state and
+                # a 10-byte pad (`rx_waterfall.cpp:1625-1628`)
+                assert zoom_flags & packets.WF_FLAGS_COMPRESSION
+                dec = adpcm.decode_u8(
+                    np.frombuffer(data[16:], np.uint8),
+                    adpcm.AdpcmState())
+                row = dec[packets.ADPCM_PAD:packets.ADPCM_PAD + 1024]
                 return True
             await asyncio.gather(pump(snd, on_snd), pump(wf, on_wf))
 

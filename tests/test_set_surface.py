@@ -69,8 +69,14 @@ def test_info_and_debug_commands():
                 await ws.send_str("SET options=1")
                 await ws.send_str("SET browser=Mozilla%2F5.0")
                 await ws.send_str("SET geojson=%7B%22x%22%3A1%7D")
+                # nocache/devl.* mutate server-global state: ignored
+                # from a plain user connection (ADVICE r2: the
+                # reference keeps them below the auth barrier)
                 await ws.send_str("SET nocache=1")
-                await ws.send_str("SET devl.p0=1.5")
+                await ws.send_str("SET devl.p0=9.9")
+                await asyncio.sleep(0.1)
+                assert server.web_nocache is False
+                assert "p0" not in server.devl
                 await ws.send_str("SET dbug_v=1,2")
                 await ws.send_str("SET OVERRIDE inactivity_timeout=0")
 
@@ -104,6 +110,15 @@ def test_info_and_debug_commands():
                 # is_admin: plain user -> 0
                 await ws.send_str("SET is_admin")
                 assert (await wait_msg(ws, b"is_admin")) == "0"
+
+                # local peer with no admin password configured may
+                # become admin ("SET auth t=admin", is_local rule);
+                # nocache/devl.* then take effect
+                await ws.send_str("SET auth t=admin p=")
+                await ws.send_str("SET is_admin")
+                assert (await wait_msg(ws, b"is_admin")) == "1"
+                await ws.send_str("SET nocache=1")
+                await ws.send_str("SET devl.p0=1.5")
 
                 await asyncio.sleep(0.1)
                 conn = list(server.conns.values())[0]

@@ -19,11 +19,15 @@ async def main():
         print("status:", {k: st.get(k) for k in
               ("gps_good", "fixes", "gps", "users")})
         g = await (await s.get(base + "/gps")).json()
-        sats = [(x["prn"], x.get("az"), x.get("el"), x["snr"])
-                for x in g.get("sats", [])]
-        print("gps:", g["tracking"], "tracked, fixes", g["fixes"],
-              "ppm", g.get("clock_ppm"), "fix", g.get("fix"))
-        print("sats az/el:", sats)
+        if g.get("enabled", True):
+            sats = [(x["prn"], x.get("az"), x.get("el"), x["snr"])
+                    for x in g.get("sats", [])]
+            print("gps:", g.get("tracking"), "tracked, fixes",
+                  g.get("fixes"), "ppm", g.get("clock_ppm"),
+                  "fix", g.get("fix"))
+            print("sats az/el:", sats)
+        else:
+            print("gps: disabled (no --gps)")
 
         ws = await s.ws_connect(f"{base}/77/SND")
         await ws.send_str("SET auth t=kiwi p=")
