@@ -444,29 +444,68 @@ _CODE_FFT_CACHE: dict[int, np.ndarray] = {}
 
 def _refine_doppler(params: acquisition.AcqParams, raw: np.ndarray,
                     code: np.ndarray, cp: float, dop: float) -> float:
-    """Fine Doppler from the phase slope of 1 ms sub-prompts.
+    """Fine Doppler by dense power scan around the acquired bin.
 
     The FFT search bins are fs/fft_len ~ 250 Hz; a worst-case 125 Hz
     handoff error costs the E1B tracking loops their pull-in margin
     (the 4 ms symbol period leaves less averaging than C/A's 20 ms
-    bits).  1 ms prompt partials at the acquired (cp, dop) over up to
-    8 ms give the residual as a phase ramp; the squared-difference
-    (BPSK doubling) estimator angle(sum d_k^2)/2 is immune to symbol
-    flips and naturally downweights edge-straddling partials.
+    bits).  A direct correlation power scan at 25 Hz steps over
+    +-137 Hz, combined per-1 ms NON-coherently (so a symbol edge
+    inside the window cannot null any candidate), is unambiguous —
+    unlike phase-slope estimators, which wrap at the bin edge — and a
+    parabolic fit on the winning neighborhood lands within a few Hz.
     """
     sub_n = params.n_raw // 4                       # ~1 ms at fs_if
     n = min(len(raw), 2 * params.n_raw) // sub_n * sub_n
     t = np.arange(n) / params.fs_if
-    bb = raw[:n].astype(np.float64) * np.exp(
-        -2j * np.pi * (params.fc + dop) * t)
     chips = cp + np.arange(n) * 1.023e6 / params.fs_if
     ci = np.floor(chips).astype(np.int64)
     rep = code[ci % len(code)] * np.where(chips - ci < 0.5, 1.0, -1.0)
-    sub = (bb * rep).reshape(-1, sub_n).sum(axis=1)
-    d = sub[1:] * np.conj(sub[:-1])
-    ang2 = float(np.angle(np.sum(d * d))) / 2.0     # mod pi, |err|<250Hz
-    dt_sub = sub_n / params.fs_if
-    return dop + ang2 / (2 * np.pi * dt_sub)
+    x = raw[:n].astype(np.float64) * rep
+    offs = np.arange(-137.5, 138.0, 25.0)
+    pw = np.empty(len(offs))
+    for i, df in enumerate(offs):
+        bb = x * np.exp(-2j * np.pi * (params.fc + dop + df) * t)
+        sub = bb.reshape(-1, sub_n).sum(axis=1)
+        pw[i] = float(np.sum(np.abs(sub) ** 2))
+    j = int(np.argmax(pw))
+    if 0 < j < len(offs) - 1:
+        denom = pw[j - 1] - 2 * pw[j] + pw[j + 1]
+        if abs(denom) > 1e-12:
+            j_frac = 0.5 * (pw[j - 1] - pw[j + 1]) / denom
+            return dop + float(offs[j] + np.clip(j_frac, -1, 1) * 25.0)
+    return dop + float(offs[j])
+
+
+def _refine_code_phase(params: acquisition.AcqParams, raw: np.ndarray,
+                       code: np.ndarray, cp: float, dop: float
+                       ) -> float:
+    """Exact full-rate code-phase scan around the FFT-search estimate.
+
+    The FFT search correlates circularly over fft_len = 16384 samples
+    while the E1B period is 16368 — the wrapped partial period can
+    displace the apparent peak by the 16-sample difference (~4 chips),
+    window-dependently.  A direct scan over +-6 chips in 1/4-chip
+    steps (non-coherent over 1 ms sub-blocks, so symbol flips cannot
+    null it) is unambiguous.
+    """
+    sub_n = params.n_raw // 4
+    n = min(len(raw), 2 * params.n_raw) // sub_n * sub_n
+    t = np.arange(n) / params.fs_if
+    bb = raw[:n].astype(np.float64) * np.exp(
+        -2j * np.pi * (params.fc + dop) * t)
+    base = np.arange(n) * 1.023e6 / params.fs_if
+    best = (None, cp)
+    for d in np.arange(-6.0, 6.01, 0.25):
+        chips = cp + d + base
+        ci = np.floor(chips).astype(np.int64)
+        rep = code[ci % len(code)] * np.where(chips - ci < 0.5,
+                                              1.0, -1.0)
+        sub = (bb * rep).reshape(-1, sub_n).sum(axis=1)
+        pw = float(np.sum(np.abs(sub) ** 2))
+        if best[0] is None or pw > best[0]:
+            best = (pw, (cp + d) % len(code))
+    return best[1]
 
 
 def acquire_all_e1b(params: acquisition.AcqParams, raw: np.ndarray,
@@ -501,18 +540,27 @@ def acquire_all_e1b(params: acquisition.AcqParams, raw: np.ndarray,
             cfs.append(_CODE_FFT_CACHE[p])
         cf = cplx_ops.from_numpy(np.stack(cfs))
         power = acquisition.acquire_power(params, bbs[0], cf)
-        for b in bbs[1:]:
-            power = power + acquisition.acquire_power(params, b, cf)
+        for w, b in enumerate(bbs[1:], start=1):
+            pw = acquisition.acquire_power(params, b, cf)
+            # window w starts w*fft_len samples later; the code slips
+            # (fft_len mod period) samples per window (16384 vs 16368
+            # at 4.092 Msps), shifting its correlation peak — roll to
+            # realign before non-coherent combining (without this the
+            # combined argmax can land ~4 chips off on the weaker
+            # window's peak: a false handoff that never locks)
+            shift = (w * params.fft_len) % period
+            power = power + jnp.roll(pw, shift, axis=-1)
         snr, cp, dop = acquisition.peak_from_power(
             params, power,
             code_period_samples=period, chips_per_period=E1B_CODELEN)
         for j, p in enumerate(grp):
             d = float(dop[j])
+            c = float(cp[j])
             if float(snr[j]) > 25.0:
-                d = _refine_doppler(params, raw_np,
-                                    e1b_code(p).astype(np.float64),
-                                    float(cp[j]), d)
+                code = e1b_code(p).astype(np.float64)
+                c = _refine_code_phase(params, raw_np, code, c, d)
+                d = _refine_doppler(params, raw_np, code, c, d)
             results.append(dict(prn=p, snr=float(snr[j]),
-                                code_phase=float(cp[j]), doppler=d))
+                                code_phase=c, doppler=d))
     results.sort(key=lambda r: -r["snr"])
     return results

@@ -77,6 +77,11 @@ class GpsChannel:
     tow_ref: tuple[float, float] | None = None
     asm: ephemeris.SubframeAssembler = None
     lost_count: int = 0
+    # Galileo symbol accumulator: code-period id -> prompt-I sum
+    # (fed by the split pre/post prompts so boundary-straddling
+    # windows contribute exactly to the right symbol)
+    gal_acc: dict = dataclasses.field(default_factory=dict)
+    gal_p0: float | None = None     # unwrapped chips of period id 0
 
     def __post_init__(self):
         if self.asm is None:
@@ -147,14 +152,29 @@ class GpsManager:
         self.ticks = 0                  # IF samples consumed (48-bit)
         self.samples_tracked = 0        # IF samples through tracking
         self._rem = np.zeros(0, np.float32)   # sub-epoch remainder
+        # periodic background search (SearchTask cadence); 0 disables
+        self.search_interval_s = 2.0
+        self._last_search = 0
+        self._sbuf = np.zeros(0, np.float32)  # rolling search capture
+        self._gal_deferred = False    # E1B search waiting for 2 windows
 
     # -- acquisition -----------------------------------------------------
-    def cold_search(self, raw_if: np.ndarray) -> list[dict]:
-        """Run the full-sky search on one 65536-sample IF capture and
-        start tracking the hits (`SearchTask` -> `ChanStart`).
+    def cold_search(self, raw_if: np.ndarray,
+                    advance_samples: int = 0) -> list[dict]:
+        """Run the full-sky search on an IF capture and start tracking
+        the hits (`SearchTask` -> `ChanStart`).
 
-        ``raw_if[0]`` must be the next sample :meth:`track_block` will
-        see — the acquired code phase dates that instant.
+        The acquired code phase dates ``raw_if[0]``;
+        ``advance_samples`` projects it forward to the instant the
+        tracking bank will actually see next (the capture may be a
+        rolling buffer of already-tracked samples — the reference's
+        SearchTask likewise samples its own capture buffer,
+        `gps/search.cpp:382-447`).
+
+        E1B satellites are only searched when >= 2 code periods (2 x
+        4 ms windows) are available: a single window can lose the
+        whole correlation peak to a mid-window symbol flip (the cause
+        of low-SNR false handoffs).
         """
         if len(self.channels) >= self.max_chans:
             return []
@@ -166,13 +186,15 @@ class GpsManager:
                 self.acq, raw_if[: self.acq.n_raw], prns=todo)
         todo_gal = tuple(p for p in self.galileo_prns
                          if GALILEO_PRN_BASE + p not in tracked)
-        if todo_gal:
+        if todo_gal and len(raw_if) >= 2 * self.acq.n_raw:
             # 2 windows: non-coherent combining over a symbol edge
             for c in galileo.acquire_all_e1b(
                     self.acq, raw_if[: 2 * self.acq.n_raw],
                     prns=todo_gal):
                 c["prn"] += GALILEO_PRN_BASE
                 cands.append(c)
+        elif todo_gal:
+            self._gal_deferred = True
         cands.sort(key=lambda r: -r["snr"])
         started = []
         for cand in cands:
@@ -180,6 +202,14 @@ class GpsManager:
                 break
             if cand["prn"] in tracked or cand["snr"] < self.min_snr:
                 continue
+            if advance_samples:
+                L = (E1B_CODELEN if cand["prn"] >= GALILEO_PRN_BASE
+                     else L1_CODELEN)
+                rate = (CA_CHIP_RATE
+                        * (1.0 + cand["doppler"] / 1.57542e9)
+                        / self.tp.fs)
+                cand = dict(cand, code_phase=(
+                    cand["code_phase"] + advance_samples * rate) % L)
             self._start_channel(cand)
             started.append(cand)
         return started
@@ -236,15 +266,17 @@ class GpsManager:
             self._track_state, self._code_table, raw_e)
         ip = np.asarray(outs["ip"])
         qp = np.asarray(outs["qp"])
+        ip_pre = np.asarray(outs["ip_pre"])
         cp = np.asarray(outs["code_phase"])   # phase at each epoch START
         end_cp = np.asarray(self._track_state.code_phase)
         for ch in list(self.channels.values()):
             i = ch.state_idx
-            self._advance_channel(ch, ip[:, i], qp[:, i], cp[:, i],
-                                  float(end_cp[i]), n_ep)
+            self._advance_channel(ch, ip[:, i], qp[:, i], ip_pre[:, i],
+                                  cp[:, i], float(end_cp[i]), n_ep)
 
     def _advance_channel(self, ch: GpsChannel, ip: np.ndarray,
-                         qp: np.ndarray, cp_starts: np.ndarray,
+                         qp: np.ndarray, ip_pre: np.ndarray,
+                         cp_starts: np.ndarray,
                          cp_end: float, n_ep: int) -> None:
         # --- unwrap the code-chip counter across this block ---
         # cp_starts[0] is the phase at the last boundary (== ch.last_cp
@@ -262,15 +294,28 @@ class GpsManager:
         ch.epochs += n_ep
 
         # --- prompt history for bit/symbol extraction ---
-        ch.ip_pending.extend(ip.tolist())
         if ch.constellation == "galileo":
-            # unwrapped chip count of the code-period START containing
-            # each epoch (phase subtracted exactly): E1B symbols are
-            # one code period, so this both groups quarter-period
-            # prompts into symbols and anchors them to chip precision
-            ch.chip_pending.extend((chips_at_start - cp_starts).tolist())
-            self._consume_syms_gal(ch)
+            # E1B symbols are one 4092-chip code period.  Each 1 ms
+            # window's prompt was split at its internal code-period
+            # boundary (ip_pre = before, ip - ip_pre = after), so
+            # symbol integrals are assembled EXACTLY: period id from
+            # the unwrapped chips of the period start.
+            period_start = chips_at_start - np.mod(cp_starts, L)
+            if ch.gal_p0 is None:
+                ch.gal_p0 = float(period_start[0])
+            # period starts sit at gal_p0 + k*L in unwrapped chips
+            # (exact up to DLL jitter) — id them relative to gal_p0
+            pids = np.rint((period_start - ch.gal_p0) / L
+                           ).astype(np.int64)
+            for w in range(n_ep):
+                p = int(pids[w])
+                ch.gal_acc[p] = ch.gal_acc.get(p, 0.0) + float(ip_pre[w])
+                post = float(ip[w] - ip_pre[w])
+                if post != 0.0:
+                    ch.gal_acc[p + 1] = ch.gal_acc.get(p + 1, 0.0) + post
+            self._consume_syms_gal(ch, int(pids[-1]))
         else:
+            ch.ip_pending.extend(ip.tolist())
             # anchor candidates: every 1 ms epoch window contains
             # exactly ONE code-period boundary (epoch ~= code period);
             # nav-bit edges coincide with such boundaries (20
@@ -293,37 +338,48 @@ class GpsManager:
         # in epochs (feed-chunk-size invariant) with a pull-in grace
         # period, like the reference's sustained-low-power criterion.
         if ch.epochs > 500:
-            lock = (np.mean(np.abs(ip)) ** 2 /
-                    max(np.mean(ip ** 2 + qp ** 2), 1e-9))
+            if ch.constellation == "galileo":
+                # a symbol (= code period) edge can fall mid-window;
+                # those windows mix adjacent symbols and null |IP|
+                # even in perfect lock — judge only the windows whose
+                # boundary partial is clearly one-sided
+                w = np.abs(ip_pre) < 0.25 * np.abs(ip)
+                w |= np.abs(ip - ip_pre) < 0.25 * np.abs(ip)
+                ipj, qpj = ip[w], qp[w]
+                if len(ipj) < 8:
+                    ipj, qpj = ip, qp
+            else:
+                ipj, qpj = ip, qp
+            lock = (np.mean(np.abs(ipj)) ** 2 /
+                    max(np.mean(ipj ** 2 + qpj ** 2), 1e-9))
             if lock < 0.55:
                 ch.lost_count += n_ep
                 if ch.lost_count > 2000:    # ~2 s of lost lock
                     self._drop_channel(ch.prn)
             else:
-                ch.lost_count = 0
+                # decay instead of reset: a channel oscillating around
+                # the threshold (half-lock on a bad handoff) still
+                # accumulates and gets dropped for re-search, like the
+                # reference's sustained-power criterion
+                ch.lost_count = max(0, ch.lost_count - n_ep // 2)
 
-    def _consume_syms_gal(self, ch: GpsChannel) -> None:
-        """Fold quarter-period prompts into 4 ms I/NAV symbols (one
-        per E1B code period), feed the page assembler, drain TOW
-        anchors.  No bit-sync search is needed: symbol edges ARE code
-        period boundaries (`sdrnav_gal.cpp` exploits the same)."""
-        starts = ch.chip_pending
-        n = len(starts)
-        i = 0
-        syms = []
-        while True:
-            j = i
-            while j < n and starts[j] - starts[i] < ch.code_len / 2:
-                j += 1
-            if j >= n:
-                break           # current period may still be filling
-            syms.append(sum(ch.ip_pending[i:j]))
-            ch.bit_anchors.append(starts[i])
-            i = j
-        if i == 0:
+    def _consume_syms_gal(self, ch: GpsChannel, last_pid: int) -> None:
+        """Emit completed 4 ms I/NAV symbols (one per E1B code
+        period) from the split-prompt accumulator, feed the page
+        assembler, drain TOW anchors.  No bit-sync search is needed:
+        symbol edges ARE code period boundaries (`sdrnav_gal.cpp`
+        exploits the same).
+
+        A period p is complete once a window STARTS in period
+        > p (later windows can only contribute to p+1 onwards)."""
+        done = sorted(p for p in ch.gal_acc if p < last_pid)
+        if not done:
             return
-        del ch.ip_pending[:i]
-        del ch.chip_pending[:i]
+        syms = []
+        for p in done:
+            syms.append(ch.gal_acc.pop(p))
+            # anchor: unwrapped chips at this period's start
+            ch.bit_anchors.append(ch.gal_p0 + p * float(ch.code_len))
         ch.bits_total += len(syms)
         ch.anchor_base = ch.bits_total - len(ch.bit_anchors)
         ch.asm.feed(np.asarray(syms))
@@ -414,17 +470,46 @@ class GpsManager:
 
     # -- combined step (server entry point) -------------------------------
     def process(self, raw_if: np.ndarray, search: bool = False) -> None:
-        """Feed one IF block: optional cold search, then tracking."""
-        if search and len(self.channels) < self.max_chans:
-            raw_if = np.asarray(raw_if, np.float32)
-            if len(self._rem):
-                # searches date code phase at the next tracked sample
-                cap = np.concatenate([self._rem, raw_if])
-            else:
-                cap = raw_if
-            if len(cap) >= self.acq.n_raw:
-                self.cold_search(cap)
+        """Feed one IF block: tracking, then cold search when
+        requested OR due.
+
+        Like the reference's SearchTask (`gps/search.cpp:512`, which
+        round-robins satellites forever), the search re-runs
+        periodically on its own while any searched PRN is untracked —
+        a satellite missed at start-up or dropped after a bad handoff
+        is re-acquired without the caller asking.  Searches run on a
+        rolling 2-window capture buffer; newly started channels get
+        their code phase projected to the next tracked sample.
+        """
+        raw_if = np.asarray(raw_if, np.float32)
         self.track_block(raw_if)
+        cap_len = 2 * self.acq.n_raw
+        if len(raw_if) >= cap_len:
+            self._sbuf = raw_if[-cap_len:]
+        else:
+            self._sbuf = np.concatenate([self._sbuf, raw_if])[-cap_len:]
+        due = (self._search_due()
+               if not search and self.search_interval_s > 0 else False)
+        if self._gal_deferred and len(self._sbuf) >= cap_len:
+            self._gal_deferred = False
+            due = True
+        if (search or due) and len(self.channels) < self.max_chans \
+                and len(self._sbuf) >= self.acq.n_raw:
+            self.cold_search(
+                self._sbuf,
+                advance_samples=len(self._sbuf) - len(self._rem))
+            self._last_search = self.samples_tracked
+
+    def _search_due(self) -> bool:
+        if len(self.channels) >= self.max_chans:
+            return False
+        tracked = {c.prn for c in self.channels.values()}
+        want = set(self.prns) | {GALILEO_PRN_BASE + p
+                                 for p in self.galileo_prns}
+        if want <= tracked:
+            return False
+        return (self.samples_tracked - self._last_search
+                >= self.search_interval_s * self.tp.fs)
 
     # -- nav decode (compat shim; decoding now happens inline) ------------
     def decode_nav(self) -> None:

@@ -213,7 +213,7 @@ def track_epochs(params: TrackParams, state: TrackState,
         cl = st.code_len[:, None]
         is_boc = st.boc[:, None]
 
-        def corr(sign):
+        def corr(sign, split=False):
             pos = jnp.mod(chips + sign * st.corr_half[:, None], cl)
             frac = pos - jnp.floor(pos)
             idx = jnp.floor(pos).astype(jnp.int32) + ch_off
@@ -223,23 +223,55 @@ def track_epochs(params: TrackParams, state: TrackState,
             sub = jnp.where(is_boc > 0,
                             jnp.where(frac < 0.5, 1.0, -1.0), 1.0)
             c = c * sub
-            return jnp.sum(xi * c, axis=1), jnp.sum(xq * c, axis=1)
+            i_full = jnp.sum(xi * c, axis=1)
+            q_full = jnp.sum(xq * c, axis=1)
+            if not split:
+                return i_full, q_full
+            # split the prompt at the window's internal code-period
+            # boundary: the pre part belongs to the code period the
+            # window starts in, the post part to the next one.  E1B
+            # symbols are one code period, so the host can reassemble
+            # EXACT symbol integrals even when the boundary falls
+            # mid-window (otherwise every straddling window mixes
+            # adjacent symbols — fatal for I/NAV at low SNR).
+            t_b = (cl - jnp.mod(st.code_phase, st.code_len)[:, None]) \
+                / st.code_rate[:, None]
+            pre = t[None, :] < t_b
+            i_pre = jnp.sum(jnp.where(pre, xi * c, 0.0), axis=1)
+            q_pre = jnp.sum(jnp.where(pre, xq * c, 0.0), axis=1)
+            return i_full, q_full, i_pre, q_pre
 
         ie, qe = corr(1.0)
-        ip, qp = corr(0.0)
+        ip, qp, ip_pre, qp_pre = corr(0.0, split=True)
         il, ql = corr(-1.0)
 
         # ---- discriminators ----
         e_mag = jnp.sqrt(ie * ie + qe * qe)
         l_mag = jnp.sqrt(il * il + ql * ql)
         dll_err = (e_mag - l_mag) / jnp.maximum(e_mag + l_mag, 1e-9)
+        # For BOC (E1B) channels the 4 ms symbol flips at CODE PERIOD
+        # boundaries, which can fall mid-window: the full-window
+        # prompt then mixes opposite-sign symbols and can null out,
+        # poisoning the Costas/FLL discriminators (cycle slips at low
+        # SNR).  Feed the loops the DOMINANT boundary partial instead
+        # — sign-pure by construction.  (C/A bits last 20 periods, so
+        # full-window prompts stay cleaner there: keep them.)
+        qp_post = qp - qp_pre
+        ip_post = ip - ip_pre
+        use_pre = (ip_pre * ip_pre + qp_pre * qp_pre >=
+                   ip_post * ip_post + qp_post * qp_post)
+        is_boc1 = st.boc > 0
+        ip_l = jnp.where(is_boc1,
+                         jnp.where(use_pre, ip_pre, ip_post), ip)
+        qp_l = jnp.where(is_boc1,
+                         jnp.where(use_pre, qp_pre, qp_post), qp)
         # Costas (bit-insensitive, 2-quadrant) phase detector
-        pll_err = jnp.arctan(qp / jnp.where(jnp.abs(ip) < 1e-9,
-                                            1e-9, ip))
+        pll_err = jnp.arctan(qp_l / jnp.where(jnp.abs(ip_l) < 1e-9,
+                                              1e-9, ip_l))
         # bit-insensitive (2-quadrant) FLL discriminator: atan2 would
         # jump by pi whenever a nav-bit edge flips the prompt phasor
-        cross = ip * st.qp_prev - qp * st.ip_prev
-        dot = ip * st.ip_prev + qp * st.qp_prev
+        cross = ip_l * st.qp_prev - qp_l * st.ip_prev
+        dot = ip_l * st.ip_prev + qp_l * st.qp_prev
         fll_err = jnp.arctan(
             cross / jnp.where(jnp.abs(dot) < 1e-9, 1e-9, dot))
 
@@ -263,9 +295,10 @@ def track_epochs(params: TrackParams, state: TrackState,
             code_rate=jnp.where(act, code_rate, st.code_rate),
             carr_phase=jnp.where(act, carr_phase, st.carr_phase),
             carr_freq=jnp.where(act, carr_freq, st.carr_freq),
-            ip_prev=ip, qp_prev=qp, active=act,
+            ip_prev=ip_l, qp_prev=qp_l, active=act,
             code_len=st.code_len, boc=st.boc, corr_half=st.corr_half)
-        out = dict(ip=ip, qp=qp, code_phase=st.code_phase,
+        out = dict(ip=ip, qp=qp, ip_pre=ip_pre, qp_pre=qp_pre,
+                   code_phase=st.code_phase,
                    carr_freq=carr_freq, dll_err=dll_err,
                    pll_err=pll_err, cn0=cn0)
         return new, out

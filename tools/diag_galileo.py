@@ -27,16 +27,12 @@ total = int(14.0 * gm.tp.fs)
 done = 0
 sec_mark = 0
 while done < total:
-    if done == 0:
-        cands = None
-        raw = sc.next_block(chunk)
-        started = gm.cold_search(np.asarray(raw, np.float32))
-        for c in started:
-            print(f"  started prn={c['prn']} snr={c['snr']:.1f} "
-                  f"cp={c['code_phase']:.1f} dop={c['doppler']:.1f}")
-        gm.track_block(raw)
-    else:
-        gm.process(sc.next_block(chunk), search=False)
+    n_before = len(gm.channels)
+    gm.process(sc.next_block(chunk), search=(done == 0))
+    if len(gm.channels) != n_before:
+        for prn, c in sorted(gm.channels.items()):
+            print(f"  tracking prn={prn} snr={c.acquired_snr:.1f} "
+                  f"at t={done/gm.tp.fs:.3f}s")
     done += chunk
     if done // int(gm.tp.fs) > sec_mark:
         sec_mark = done // int(gm.tp.fs)
