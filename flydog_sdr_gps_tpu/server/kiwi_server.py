@@ -391,8 +391,8 @@ class Connection:
                 await self.server.close_admin_conns()
         elif cmd == "get_authkey":
             if self.is_admin:
-                import secrets
-                self.server.authkey = secrets.token_hex(16)
+                from ..utils import security
+                self.server.authkey = security.generate_authkey()
                 await self.send_msg(which,
                                     authkey_cb=self.server.authkey)
         elif cmd == "clk_adj":
@@ -729,13 +729,25 @@ class KiwiServer:
 
     def check_password(self, conn_type: str, password: str) -> bool:
         """User/admin password check (`rx/rx_cmd.cpp` CMD_AUTH: empty
-        configured password = open access; admin requires its own)."""
+        configured password = open access; admin requires its own).
+
+        Stored values may be ``$p5$`` salted hashes
+        (`utils/security.py`, the `support/security.cpp`
+        crypt-file analogue); admin auth also accepts a live HMAC
+        token signed with the current authkey (the proxy handshake
+        path, `security.cpp` + CMD_GET_AUTHKEY)."""
         if self.cfg is None:
             return True
+        from ..utils import security
         key = ("admin_password" if conn_type == "admin"
                else "user_password")
         want = self.cfg.string(key, "")
-        return want == "" or password == want
+        if want == "":
+            return True
+        if conn_type == "admin" and self.authkey and \
+                security.check_token(self.authkey, password):
+            return True
+        return security.verify_password(password, want)
 
     # -- IP blacklist (downloadable + local CIDR list,
     #    net/ip_blacklist.cpp:1-324 semantics) -------------------------
@@ -1001,10 +1013,31 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 body = json.dumps(self.cfg.doc if self.cfg else {})
                 await ws.send_bytes(b"CFG " + body.encode())
             elif cmd == "set_config" and self.cfg is not None:
+                from urllib.parse import unquote
                 key = p.get("key", "")
                 if key:
-                    self.cfg.set(key, p.get("value", ""))
+                    val = unquote(str(p.get("value", "")))
+                    self.cfg.set(key, val)
+                    # policy knobs apply live (admin.cpp applies most
+                    # settings without restart)
+                    if key == "keepalive_sec":
+                        self.keepalive_sec = int(float(val or 0))
+                    elif key == "inactivity_timeout_mins":
+                        self.inactivity_min = float(val or 0)
+                    elif key == "ip_limit_mins":
+                        self.tlimit_min = float(val or 0)
+                    elif key == "max_conns_per_ip":
+                        self.max_conns_per_ip = int(float(val or 0))
                     await ws.send_bytes(packets.msg(cfg_seq=self.cfg.seq))
+            elif cmd == "set_admin_password" and self.cfg is not None:
+                # store salted-hashed, never plaintext
+                # (`support/security.cpp` crypt-file semantics)
+                from urllib.parse import unquote
+                from ..utils import security
+                self.cfg.set("admin_password",
+                             security.hash_password(
+                                 unquote(str(p.get("p", "")))))
+                await ws.send_bytes(packets.msg(cfg_seq=self.cfg.seq))
             elif cmd == "save_config" and self.cfg is not None:
                 self.cfg.save()
                 await ws.send_bytes(packets.msg(saved=1))

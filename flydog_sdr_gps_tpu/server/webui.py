@@ -525,10 +525,31 @@ ADMIN_PAGE = r"""<!doctype html>
  <button id="go">connect</button> <span id="lmsg"></span></div>
 <div id="main" style="display:none">
  <button class="tab on" data-t="status">status</button>
+ <button class="tab" data-t="setup">setup</button>
  <button class="tab" data-t="config">config</button>
  <button class="tab" data-t="log">log</button>
  <section id="status" class="on"><pre id="stats"></pre>
    <button id="refresh">refresh</button></section>
+ <section id="setup">
+  <table id="forms" style="border-spacing:6px">
+   <tr><td>server name</td><td><input id="f_name" size="28"></td></tr>
+   <tr><td>location</td><td><input id="f_loc" size="28"></td></tr>
+   <tr><td>admin email</td><td><input id="f_email" size="28"></td></tr>
+   <tr><td>user password</td><td><input id="f_upw" size="20">
+     <small>(empty = open access)</small></td></tr>
+   <tr><td>admin password</td><td><input id="f_apw" size="20">
+     <small>(stored salted-hashed)</small></td></tr>
+   <tr><td>keepalive (s)</td><td><input id="f_ka" size="6"></td></tr>
+   <tr><td>inactivity timeout (min)</td>
+       <td><input id="f_inact" size="6"></td></tr>
+   <tr><td>per-IP time limit (min)</td>
+       <td><input id="f_tlimit" size="6"></td></tr>
+   <tr><td>max connections per IP</td>
+       <td><input id="f_maxip" size="6"></td></tr>
+  </table>
+  <button id="fapply">apply</button> <button id="fsave">save</button>
+  <span id="fmsg"></span>
+ </section>
  <section id="config"><textarea id="cfg"></textarea><br>
    key <input id="ckey"> value <input id="cval">
    <button id="cset">set</button> <button id="csave">save</button>
@@ -572,13 +593,39 @@ document.getElementById("go").onclick = () => {
         send("get_config");
       }
     } else if (s.startsWith("CFG ")) {
+      const doc = JSON.parse(s.slice(4));
       document.getElementById("cfg").value =
-          JSON.stringify(JSON.parse(s.slice(4)), null, 1);
+          JSON.stringify(doc, null, 1);
+      fillForms(doc);
     } else if (s.startsWith("LOG ")) {
       document.getElementById("logbox").textContent = s.slice(4);
     }
   };
 };
+// ---- setup forms: structured fields writing cfg keys ----
+const FORM_KEYS = [
+  ["f_name", "server_name"], ["f_loc", "location"],
+  ["f_email", "admin_email"], ["f_upw", "user_password"],
+  ["f_ka", "keepalive_sec"], ["f_inact", "inactivity_timeout_mins"],
+  ["f_tlimit", "ip_limit_mins"], ["f_maxip", "max_conns_per_ip"]];
+function fillForms(doc) {
+  FORM_KEYS.forEach(([id, key]) => {
+    const el = document.getElementById(id);
+    if (el && doc[key] !== undefined) el.value = doc[key];
+  });
+}
+document.getElementById("fapply").onclick = () => {
+  FORM_KEYS.forEach(([id, key]) => {
+    const v = document.getElementById(id).value;
+    if (v !== "") send("set_config key=" + key + " value=" +
+                       encodeURIComponent(v));
+  });
+  const apw = document.getElementById("f_apw").value;
+  if (apw !== "")
+    send("set_admin_password p=" + encodeURIComponent(apw));
+  document.getElementById("fmsg").textContent = "applied";
+};
+document.getElementById("fsave").onclick = () => send("save_config");
 document.querySelectorAll(".tab").forEach((b) => {
   b.onclick = () => {
     document.querySelectorAll(".tab").forEach(

@@ -168,3 +168,64 @@ async def restart_scenario():
 
 def test_admin_restart_and_kick_all():
     asyncio.run(restart_scenario())
+
+
+def test_hashed_admin_password_and_hmac_token():
+    """Admin auth against a $p5$ hashed stored password, then a live
+    HMAC token signed with the authkey (support/security.cpp +
+    CMD_GET_AUTHKEY semantics)."""
+    async def run():
+        import aiohttp
+        from flydog_sdr_gps_tpu.utils import security
+        params = rx.RxParams(num_channels=2, audio_block=128)
+        src = SyntheticSource(tones=((14.201e6, 0.5),), noise_rms=0.001)
+        eng = StreamEngine(params, src)
+        cfg = Config()
+        cfg.set("admin_password", security.hash_password("s3cret",
+                                                         iters=1000))
+        server = KiwiServer(eng, cfg=cfg, port=PORT + 7,
+                            realtime=False)
+        runner = await server.start()
+        try:
+            async with aiohttp.ClientSession() as s:
+                url = f"http://127.0.0.1:{PORT + 7}"
+                adm = await s.ws_connect(f"{url}/31/ADMIN")
+                await adm.send_str("SET auth p=wrong")
+                m = await adm.receive()
+                assert b"badp=1" in m.data
+                await adm.send_str("SET auth p=s3cret")
+                m = await adm.receive()
+                assert b"badp=0" in m.data
+                await adm.close()
+
+                # SND-side admin auth with an HMAC token: fetch the
+                # authkey via an authed SND admin, then use a token
+                snd = await s.ws_connect(f"{url}/32/SND")
+                await snd.send_str("SET auth t=kiwi p=")
+                await snd.send_str("SET auth t=admin p=s3cret")
+                await snd.send_str("SET get_authkey")
+                authkey = None
+                for _ in range(10):
+                    m = await asyncio.wait_for(snd.receive(), timeout=10)
+                    if b"authkey_cb=" in m.data:
+                        authkey = m.data.split(b"authkey_cb=")[1] \
+                            .split()[0].decode()
+                        break
+                assert authkey and authkey == server.authkey
+                tok = security.make_token(authkey)
+                snd2 = await s.ws_connect(f"{url}/33/SND")
+                await snd2.send_str("SET auth t=kiwi p=")
+                await snd2.send_str("SET auth t=admin p=" + tok)
+                await snd2.send_str("SET is_admin")
+                ok = False
+                for _ in range(10):
+                    m = await asyncio.wait_for(snd2.receive(), timeout=10)
+                    if b"is_admin=" in m.data:
+                        ok = b"is_admin=1" in m.data
+                        break
+                assert ok
+        finally:
+            await server.stop()
+            await runner.cleanup()
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
+        run())

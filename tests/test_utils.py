@@ -46,3 +46,23 @@ def test_event_trace_spans():
     spans = tr.spans("SND", "start", "end")
     assert len(spans) == 2 and all(s >= 0 for s in spans)
     assert len(tr.dump()) == 5
+
+
+def test_security_password_hash_and_token():
+    from flydog_sdr_gps_tpu.utils import security
+    h = security.hash_password("hunter2", iters=1000)
+    assert security.is_hashed(h)
+    assert security.verify_password("hunter2", h)
+    assert not security.verify_password("hunter3", h)
+    # legacy plaintext comparison still works
+    assert security.verify_password("abc", "abc")
+    assert not security.verify_password("abc", "abd")
+    # HMAC tokens: valid inside the window, expired outside, and
+    # tamper-evident
+    key = security.generate_authkey()
+    tok = security.make_token(key, t=1000.0)
+    assert security.check_token(key, tok, window_s=30, now=1010.0)
+    assert not security.check_token(key, tok, window_s=30, now=1040.0)
+    assert not security.check_token(key, tok + "0", now=1010.0)
+    assert not security.check_token("otherkey", tok, now=1010.0)
+    assert not security.check_token(key, "garbage", now=1010.0)
