@@ -422,16 +422,68 @@ def rx_block(params: RxParams, state: RxState, tuning: RxTuning,
     return dataclasses.replace(new_state, ddc=new_ddc), taps
 
 
+def _use_fused_stage2(params: RxParams) -> bool:
+    """Fused rotator+stage-2 Pallas path (TPU, tileable shapes).
+
+    Skips a full HBM read+write of the (k1, C) stage-1 output by
+    rotating inside the stage-2 kernel (measured: the standalone
+    rotator pass cost 29 ms of the 123 ms C=4096 block)."""
+    if params.stage2 not in ("auto", "pallas_rot"):
+        return False
+    if params.stage2 == "auto" and jax.default_backend() != "tpu":
+        return False
+    from ..ops.pallas_kernels import stage2_rot_supported
+    plan = params.ddc
+    return (plan.tail2 % plan.d2 == 0
+            and stage2_rot_supported(plan.k1 + plan.tail2,
+                                     params.num_channels,
+                                     plan.d2, plan.l2))
+
+
 def _ddc(params: RxParams, state: RxState, tuning: RxTuning,
          x_adc: jax.Array) -> tuple[chz.DDCState, Cplx]:
     plan = params.ddc
     prec = (jax.lax.Precision.HIGH if params.precision == "high"
             else jax.lax.Precision.HIGHEST)
     x_ext = jnp.concatenate([state.ddc.x_tail, x_adc])
-    y1 = chz.stage1_apply(plan, x_ext, tuning.bank_r, tuning.bank_i,
-                          state.ddc.phi1, tuning.dphi1, precision=prec)
-    y_ext = cplx_ops.concatenate([state.ddc.y_tail, y1], axis=0)
-    audio_iq = chz.stage2_apply(plan, y_ext, method=params.stage2)
+    if _use_fused_stage2(params):
+        # fused path: y (and its carry tail) stay UNROTATED and ride
+        # the tile-paired packed layout straight out of one matmul;
+        # the stage-2 kernel applies exp(-2j*pi*(phi + n*dphi)) while
+        # the data is VMEM-resident.  The carry rows sit tail2 samples
+        # BEFORE this block's first stage-1 output, so the rotation
+        # ramp starts at phi1 - tail2*dphi (exact limb math).
+        from ..ops import pallas_kernels as pk
+        k2 = plan.k1 // plan.d2
+        _, tc = pk.stage2_rot_tiles(k2, params.num_channels,
+                                    plan.d2, plan.l2)
+        bank_p = chz.pack_bank(tuning.bank_r, tuning.bank_i, tc)
+        y1p = chz.stage1_matmul_packed(plan, x_ext, bank_p,
+                                       precision=prec)
+        tail_p = chz.pack_cols(state.ddc.y_tail, tc)
+        y_ext_p = jnp.concatenate([tail_p, y1p], axis=0)
+        phi_ext0 = nco.limb_add(
+            state.ddc.phi1,
+            nco.limb_neg(nco.advance(jnp.zeros_like(tuning.dphi1),
+                                     tuning.dphi1, plan.tail2)))
+        audio_iq = pk.stage2_rot_pallas(y_ext_p, phi_ext0,
+                                        tuning.dphi1, plan.h2,
+                                        plan.d2, k2,
+                                        interpret=jax.default_backend()
+                                        != "tpu")
+        y_ext = chz.unpack_cols(y_ext_p[-plan.tail2:], tc)
+        new = chz.DDCState(
+            x_tail=x_adc[-plan.tail1:],
+            y_tail=y_ext,
+            phi1=nco.advance(state.ddc.phi1, tuning.dphi1, plan.k1),
+        )
+        return new, audio_iq
+    else:
+        y1 = chz.stage1_apply(plan, x_ext, tuning.bank_r,
+                              tuning.bank_i, state.ddc.phi1,
+                              tuning.dphi1, precision=prec)
+        y_ext = cplx_ops.concatenate([state.ddc.y_tail, y1], axis=0)
+        audio_iq = chz.stage2_apply(plan, y_ext, method=params.stage2)
     new = chz.DDCState(
         x_tail=x_adc[-plan.tail1:],
         y_tail=y_ext[-plan.tail2:],

@@ -217,6 +217,60 @@ def frame(x: jax.Array, d: int, m: int) -> jax.Array:
     return jnp.concatenate([r[i:i + k] for i in range(m)], axis=-1)
 
 
+def stage1_matmul(plan: DDCPlan, x_ext: jax.Array,
+                  bank_r: jax.Array, bank_i: jax.Array,
+                  precision=jax.lax.Precision.HIGHEST) -> Cplx:
+    """The stage-1 filter-bank matmul WITHOUT the NCO rotation.
+
+    Used by the fused TPU path, where the rotation happens inside the
+    stage-2 Pallas kernel (`pallas_kernels.stage2_rot_pallas`) as the
+    data streams through VMEM — skipping a full HBM read+write of the
+    (k1, C) baseband.
+    """
+    frames = frame(x_ext, plan.d1, plan.m1)            # (k1, L1)
+    yr = jnp.dot(frames, bank_r, precision=precision)
+    yi = jnp.dot(frames, bank_i, precision=precision)
+    return Cplx(yr, yi)
+
+
+def pack_bank(bank_r: jax.Array, bank_i: jax.Array,
+              tc: int) -> jax.Array:
+    """Permute bank columns into the tile-paired layout the fused
+    stage-2 kernel consumes: [re tile 0 | im tile 0 | re tile 1 | ...]
+    so the single (K, L1) x (L1, 2C) matmul writes both planes of each
+    channel tile CONTIGUOUSLY (one DMA per kernel program)."""
+    l1, c = bank_r.shape
+    br = bank_r.reshape(l1, c // tc, tc)
+    bi = bank_i.reshape(l1, c // tc, tc)
+    return jnp.stack([br, bi], axis=2).reshape(l1, 2 * c)
+
+
+def pack_cols(y: Cplx, tc: int) -> jax.Array:
+    """(N, C) split complex -> (N, 2C) tile-paired packed layout."""
+    n, c = y.re.shape
+    return jnp.stack([y.re.reshape(n, c // tc, tc),
+                      y.im.reshape(n, c // tc, tc)],
+                     axis=2).reshape(n, 2 * c)
+
+
+def unpack_cols(packed: jax.Array, tc: int) -> Cplx:
+    """Inverse of :func:`pack_cols`."""
+    n, c2 = packed.shape
+    c = c2 // 2
+    v = packed.reshape(n, c // tc, 2, tc)
+    return Cplx(v[:, :, 0].reshape(n, c), v[:, :, 1].reshape(n, c))
+
+
+def stage1_matmul_packed(plan: DDCPlan, x_ext: jax.Array,
+                         bank_packed: jax.Array,
+                         precision=jax.lax.Precision.HIGHEST
+                         ) -> jax.Array:
+    """Stage-1 matmul against a :func:`pack_bank` bank: one dot whose
+    (k1, 2C) output IS the fused kernel's packed input layout."""
+    frames = frame(x_ext, plan.d1, plan.m1)
+    return jnp.dot(frames, bank_packed, precision=precision)
+
+
 def stage1_apply(plan: DDCPlan, x_ext: jax.Array,
                  bank_r: jax.Array, bank_i: jax.Array,
                  phi1: jax.Array, dphi1: jax.Array,
@@ -229,10 +283,9 @@ def stage1_apply(plan: DDCPlan, x_ext: jax.Array,
     ``precision=HIGHEST`` keeps the f32 accumulate exact enough for the
     90 dB chain spec (DEFAULT bf16 matmul would cap SNR near 40 dB).
     """
-    frames = frame(x_ext, plan.d1, plan.m1)            # (k1, L1)
-    yr = jnp.dot(frames, bank_r, precision=precision)
-    yi = jnp.dot(frames, bank_i, precision=precision)
-    k1 = frames.shape[0]
+    y = stage1_matmul(plan, x_ext, bank_r, bank_i, precision)
+    yr, yi = y.re, y.im
+    k1 = yr.shape[0]
     # Per-step channel rotation rot[k,c] = exp(-2pij*(phi_c + k*dphi_c)).
     # Materializing sin/cos over (k1, C) ~ 32M elements dominated the
     # whole stage; instead decompose k = a*T + b so the phase splits as

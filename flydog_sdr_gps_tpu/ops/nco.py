@@ -94,6 +94,18 @@ def limb_scale(d, k):
     return jnp.stack([p0 & _MASK16, p1 & _MASK16, p2], axis=-1)
 
 
+def limb_neg(b):
+    """Exact (-b) mod 2**48 on limb arrays; jit-safe."""
+    b = jnp.asarray(b, jnp.int32)
+    comp = jnp.stack([(~b[..., 0]) & _MASK16,
+                      (~b[..., 1]) & _MASK16,
+                      (~b[..., 2]) & _MASK16], axis=-1)
+    one = jnp.concatenate(
+        [jnp.ones_like(comp[..., :1]), jnp.zeros_like(comp[..., :2])],
+        axis=-1)
+    return limb_add(comp, one)
+
+
 def limbs_to_cycles_f32(limbs) -> jnp.ndarray:
     """Limb phase -> float32 cycles in [0, 1)."""
     limbs = jnp.asarray(limbs)

@@ -1119,7 +1119,23 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
     # -- stream scheduler ------------------------------------------------
     async def block_loop(self):
         """Advance the engine and fan out packets, paced to real time
-        when ``realtime`` (the reference's SND interrupt pacing)."""
+        when ``realtime`` (the reference's SND interrupt pacing).
+
+        Any per-block failure is logged and the loop keeps serving
+        (the reference restarts crashed stream tasks the same way) —
+        a silent task death here would freeze every stream while the
+        policy loop keeps kicking clients for inactivity."""
+        while not self._stop.is_set():
+            try:
+                await self._block_loop_once_init()
+                return
+            except Exception as e:      # noqa: BLE001
+                import traceback
+                lprintf("block_loop fatal: %s", e)
+                traceback.print_exc()
+                await asyncio.sleep(1.0)
+
+    async def _block_loop_once_init(self):
         import jax.numpy as jnp
         loop = asyncio.get_running_loop()
         block_period = (self.engine.params.ddc.adc_block /
@@ -1193,15 +1209,18 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                     None, self.wf.ingest, self.engine._last_x)
             for conn in list(self.conns.values()):
                 try:
+                    # a conn that authed AFTER the subs snapshot has
+                    # no gathered column yet — it starts next block
+                    in_map = conn.rx_chan in chmap
                     if conn.authed and conn.snd_ws is not None and \
-                            conn.rx_chan is not None:
+                            in_map:
                         await conn.emit_snd_np(
                             audio_np, iq_np,
                             float(smeter[conn.rx_chan]),
                             adc_ovfl=adc_ovfl, audio2_np=audio2_np)
                     if conn.authed and conn.wf_ws is not None:
                         if not self.wf_enabled:
-                            if conn.rx_chan is not None:
+                            if in_map:
                                 await conn.emit_wf_audio(
                                     audio_np[:, conn.rx_chan])
                         elif conn.wf_slot is not None:

@@ -102,18 +102,37 @@ def main():
     log(f"null dispatch: {lat*1e3:.1f} ms")
 
     res = {}
-    log("timing stage1_matmul ...")
-    res["stage1_matmul"] = timed(
-        lambda: s1_mm(x_ext), lambda r: np.asarray(r[0][0, :8]))
-    log("timing stage1 (matmul+rotator) ...")
-    res["stage1"] = timed(lambda: s1(x_ext), sync_cplx)
-    log("timing stage2 ...")
-    res["stage2"] = timed(lambda: s2(y_ext), sync_cplx)
-    log("timing backhalf ...")
-    res["backhalf"] = timed(lambda: bh(iq), lambda r: np.asarray(r[:8]))
-    log("timing full block ...")
-    res["full"] = timed(lambda: full(state, x)[1].smeter_dbm,
-                        lambda r: np.asarray(r[:8]))
+
+    def run(name, fn, sync):
+        log(f"timing {name} ...")
+        try:
+            res[name] = timed(fn, sync)
+            log(f"  {name}: {res[name]*1e3:.2f} ms wall")
+        except Exception as e:                    # noqa: BLE001
+            log(f"  {name} FAILED: {type(e).__name__}: {e}")
+
+    run("stage1_matmul", lambda: s1_mm(x_ext),
+        lambda r: np.asarray(r[0][0, :8]))
+    run("stage1", lambda: s1(x_ext), sync_cplx)
+    run("stage2", lambda: s2(y_ext), sync_cplx)
+    # fused rotator+stage2 (what the auto path uses on TPU): packed
+    # layout + single-DMA kernel
+    from flydog_sdr_gps_tpu.ops import pallas_kernels as pk
+    from flydog_sdr_gps_tpu.ops import nco
+    phi_ext0 = nco.limb_add(
+        state.ddc.phi1,
+        nco.limb_neg(nco.advance(jnp.zeros_like(tuning.dphi1),
+                                 tuning.dphi1, plan.tail2)))
+    k2 = (y_ext.shape[0] - plan.tail2) // plan.d2
+    _, tcr = pk.stage2_rot_tiles(k2, C, plan.d2, plan.l2)
+    y_packed = jax.device_put(jax.jit(
+        lambda v: chz.pack_cols(v, tcr))(y_ext))
+    s2f = jax.jit(lambda yp, phi: pk.stage2_rot_pallas(
+        yp, phi, tuning.dphi1, plan.h2, plan.d2, k2))
+    run("stage2_fused_rot", lambda: s2f(y_packed, phi_ext0), sync_cplx)
+    run("backhalf", lambda: bh(iq), lambda r: np.asarray(r[:8]))
+    run("full", lambda: full(state, x)[1].smeter_dbm,
+        lambda r: np.asarray(r[:8]))
 
     rf_ms = BLOCK * plan.total_decim / ADC_CLOCK_NOM * 1e3
     out = {"C": C, "block": BLOCK, "rf_ms": round(rf_ms, 2),
@@ -122,11 +141,12 @@ def main():
     for k, v in res.items():
         dev_ms = max((v - lat) * 1e3, 0.0)
         out[k + "_ms"] = round(dev_ms, 2)
-        if k not in ("full", "stage1_matmul"):
+        if k in ("stage1", "stage2", "backhalf"):
             tot += dev_ms
     out["sum_stages_ms"] = round(tot, 2)
-    out["rotator_ms"] = round(out["stage1_ms"]
-                              - out["stage1_matmul_ms"], 2)
+    if "stage1_ms" in out and "stage1_matmul_ms" in out:
+        out["rotator_ms"] = round(out["stage1_ms"]
+                                  - out["stage1_matmul_ms"], 2)
     for k, v in out.items():
         log(f"  {k}: {v}")
     print(json.dumps(out))
