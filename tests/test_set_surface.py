@@ -189,7 +189,9 @@ def test_admin_commands_on_stream():
                 # get_authkey
                 await ws.send_str("SET get_authkey")
                 key = await wait_msg(ws, b"authkey_cb")
-                assert key and len(key) == 32 and server.authkey == key
+                # utils/security.py:generate_authkey -> token_hex(32) = 64 hex
+                # chars (reference: rx/rx_cmd.cpp:2149-2160 uses its own size).
+                assert key and len(key) == 64 and server.authkey == key
 
                 # clk_adj within the ppm window retunes the NCOs
                 eng = server.engine
