@@ -190,14 +190,21 @@ def main():
     # autorun decoders (channels SERVED, not just computed); shares
     # the compiled engine program via the persistent jit cache
     serve = None
+    mixed = None
     if os.environ.get("BENCH_SERVE", "1") != "0":
         del state, tuning, x, step, compiled, lowered, taps
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools"))
-        from bench_serve import run_serve_bench
+        from bench_serve import run_mixed_bench, run_serve_bench
         log("serve bench ...")
         serve = run_serve_bench()
         log(f"serve: {serve}")
+        if os.environ.get("BENCH_MIXED", "1") != "0":
+            # BASELINE config 5: audio + WF + GPS + autorun sharing
+            # the chip concurrently
+            log("mixed bench ...")
+            mixed = run_mixed_bench()
+            log(f"mixed: {mixed}")
 
     print(json.dumps({
         "metric": "realtime_ddc_demod_channels_per_chip",
@@ -223,6 +230,7 @@ def main():
             "device_kind": dev.device_kind,
             "stage2": os.environ.get("BENCH_STAGE2", "default"),
             "serve": serve,
+            "mixed": mixed,
         },
     }))
 

@@ -14,16 +14,16 @@ stack for robustness mode B in the 10 kHz channel (spectrum occupancy
   time/frequency reference pilots, 65 FAC cells per frame at the
   table positions, SDC in the first 2 superframe symbols, remaining
   cells MSC.
-- Coding: K=7 (171,133) convolutional code (shared Viterbi,
-  `models/gps/galileo.py`) at rate 1/2 on SDC/MSC; the FAC block is
-  the ETSI 72-bit parameter set (channel + service params + DRM
-  CRC-8) rate-punctured to the 130 coded bits its 65 QPSK cells
-  carry.  (Deviation from ETSI: the reference codes FAC with the
-  punctured rate-1/4 MLC mother code, `dream/MLC/`; here the same
-  r=1/2 K=7 code used elsewhere is punctured 6->5 — the cell layout
-  and FAC bit content are spec-true, the FEC is not yet.)
-- SDC and MSC are length+CRC-16 framed byte streams,
-  block-interleaved, QPSK / 16-QAM.
+- Coding: the REAL ETSI section 7 multilevel coding via
+  :mod:`drm_mlc` (tables matching Dream's `MLC/` value-for-value):
+  energy dispersal, punctured K=7 rate-1/4 mother code
+  (133/171/145/133 octal), ETSI table 58/59 puncturing/tailbit
+  patterns, 7.3.3 block bit-interleavers (t_0 = 13/21), normalized
+  QAM mapping.  FAC = 72 bits at R=3/5 over 65 QPSK cells; SDC =
+  CS_1_SM (R=1/2 QPSK); MSC = CS_2_SM 16-QAM (2 levels) or CS_3_SM
+  64-QAM (3 levels), EEP protection level 1.
+- SDC and MSC payloads are length+CRC-16 framed byte streams (the
+  full DRM multiplex/SDC-entity parse is out of scope; no AAC).
 - Sync: guard-interval correlation (symbol timing + fractional CFO),
   pilot-grid channel estimator with frequency interpolation,
   zero-forcing equalization.
@@ -39,8 +39,8 @@ from __future__ import annotations
 import numpy as np
 
 from . import Extension, ext_register
+from . import drm_mlc
 from . import drm_tables
-from ..models.gps.galileo import conv_encode_k7, viterbi_decode_k7
 from .hfdl import crc16_ccitt
 
 FS = 12000.0
@@ -78,51 +78,32 @@ def data_cells(sym: int, frame_in_super: int,
 
 
 # ---------------------------------------------------------------------------
-# bit <-> cell mapping
+# channel coding: one MlcParams per logical channel, sized from the
+# cell map (MSC is coded per transmission frame, SDC per superframe,
+# FAC per frame — `dream/MLC/MLC.cpp:474` CalculateParam)
 # ---------------------------------------------------------------------------
 
-def qpsk_map(bits: np.ndarray) -> np.ndarray:
-    b = bits.reshape(-1, 2).astype(np.int64)   # uint8 would wrap 1-2b
-    return ((1 - 2 * b[:, 0]) + 1j * (1 - 2 * b[:, 1])) / np.sqrt(2)
+def _count_data_cells(sdc: bool, frame: int | None = None) -> int:
+    tot = 0
+    frames = range(FRAMES_PER_SUPER) if frame is None else (frame,)
+    for f in frames:
+        for sym in range(SYMS_PER_FRAME):
+            ssym = f * SYMS_PER_FRAME + sym
+            flag = drm_tables.CM_SDC if sdc else drm_tables.CM_MSC
+            tot += len(CMAP.cells_of(flag, ssym))
+    return tot
 
 
-def qpsk_soft(cells: np.ndarray) -> np.ndarray:
-    soft = np.zeros(2 * len(cells))
-    soft[0::2] = -np.real(cells) * np.sqrt(2)
-    soft[1::2] = -np.imag(cells) * np.sqrt(2)
-    return soft        # positive = bit 1
-
-
-_QAM16_LVL = np.array([3, 1, -1, -3]) / np.sqrt(10)
-# gray: bits (b0,b1) -> level index
-_GRAY = {(0, 0): 0, (0, 1): 1, (1, 1): 2, (1, 0): 3}
-_GRAY_INV = {v: k for k, v in _GRAY.items()}
-
-
-def qam16_map(bits: np.ndarray) -> np.ndarray:
-    b = bits.reshape(-1, 4).astype(np.int64)
-    re = np.array([_QAM16_LVL[_GRAY[(int(x[0]), int(x[1]))]] for x in b])
-    im = np.array([_QAM16_LVL[_GRAY[(int(x[2]), int(x[3]))]] for x in b])
-    return re + 1j * im
-
-
-def qam16_soft(cells: np.ndarray) -> np.ndarray:
-    """Per-bit LLR-ish soft values (positive = 1), gray 16-QAM."""
-    s = np.sqrt(10)
-    re, im = np.real(cells) * s, np.imag(cells) * s
-
-    def axis_soft(v):
-        # levels: 3,1 -> b=0 ; -1,-3 -> b=1 ; inner bit: |v|<2 -> 1
-        b_hi = -v                      # sign bit
-        b_lo = 2.0 - np.abs(v)         # inner bit
-        return b_hi, b_lo
-
-    r_hi, r_lo = axis_soft(re)
-    i_hi, i_lo = axis_soft(im)
-    soft = np.zeros(4 * len(cells))
-    soft[0::4], soft[1::4] = r_hi, r_lo
-    soft[2::4], soft[3::4] = i_hi, i_lo
-    return soft
+NUM_FAC_CELLS = drm_tables.NUM_FAC_CELLS
+FAC_MLC = drm_mlc.MlcParams("fac", NUM_FAC_CELLS)
+SDC_MLC = drm_mlc.MlcParams("sdc", _count_data_cells(True))
+# EEP (N1=0) protection level 1, 16-QAM and 64-QAM variants per frame
+MSC_MLC_16 = [drm_mlc.MlcParams("msc", _count_data_cells(False, f),
+                                levels=2, protection=1)
+              for f in range(FRAMES_PER_SUPER)]
+MSC_MLC_64 = [drm_mlc.MlcParams("msc", _count_data_cells(False, f),
+                                levels=3, protection=1)
+              for f in range(FRAMES_PER_SUPER)]
 
 
 def crc8(data_bits: np.ndarray) -> int:
@@ -134,18 +115,6 @@ def crc8(data_bits: np.ndarray) -> int:
         fb = ((reg >> 7) & 1) ^ int(b)
         reg = ((reg << 1) & 0xFF) ^ (0x1D if fb else 0)
     return reg ^ 0xFF
-
-
-def interleave(x: np.ndarray, rows: int = 6) -> np.ndarray:
-    n = (len(x) // rows) * rows
-    head = x[:n].reshape(rows, -1).T.reshape(-1)
-    return np.concatenate([head, x[n:]])
-
-
-def deinterleave(x: np.ndarray, rows: int = 6) -> np.ndarray:
-    n = (len(x) // rows) * rows
-    head = x[:n].reshape(-1, rows).T.reshape(-1)
-    return np.concatenate([head, x[n:]])
 
 
 # ---------------------------------------------------------------------------
@@ -210,24 +179,18 @@ def fac_unpack(bits72: np.ndarray) -> dict | None:
             "frame_idx": _FAC_FRAME_OF.get(get(1, 2), 0)}
 
 
-# FAC channel coding: 72 bits + 6 tail -> 156 coded bits, punctured
-# 6->5 to the 130 bits carried by the 65 QPSK FAC cells
-_FAC_KEEP = np.array([i % 6 != 5 for i in range(156)])
-NUM_FAC_CELLS = drm_tables.NUM_FAC_CELLS
-
+# FAC channel coding: the spec MLC chain — 72 bits at R=3/5 (rate id
+# 6, `TableMLC.h` iCodRateCombFDC4SM) through the punctured rate-1/4
+# mother code to the 130 bits of the 65 QPSK FAC cells
 
 def fac_encode(bits72: np.ndarray) -> np.ndarray:
-    coded = conv_encode_k7(np.concatenate(
-        [np.asarray(bits72, np.uint8), np.zeros(6, np.uint8)]))
-    return coded[_FAC_KEEP]
+    """72 FAC bits -> 65 QPSK cells (dispersal+FEC+interleave+map)."""
+    return FAC_MLC.encode(np.asarray(bits72, np.uint8))
 
 
-def fac_soft_decode(soft130: np.ndarray) -> dict | None:
-    """130 soft coded bits (positive = 1) -> FAC dict or None."""
-    full = np.zeros(156)
-    full[_FAC_KEEP] = soft130             # punctured slots = erasures
-    bits = viterbi_decode_k7(full, tail=True)
-    return fac_unpack(bits[:72])
+def fac_cells_decode(cells: np.ndarray) -> dict | None:
+    """65 equalized FAC cells -> FAC dict or None."""
+    return fac_unpack(FAC_MLC.decode(np.asarray(cells)))
 
 
 # ---------------------------------------------------------------------------
@@ -235,32 +198,30 @@ def fac_soft_decode(soft130: np.ndarray) -> dict | None:
 # ---------------------------------------------------------------------------
 
 class DrmTx:
-    def __init__(self, service_id: int = 0xA1B2C3, label_idx: int = 7):
+    def __init__(self, service_id: int = 0xA1B2C3, label_idx: int = 7,
+                 msc_qam: int = 16):
         self.service_id = service_id
         self.label_idx = label_idx
-
-    def _coded(self, bits: np.ndarray) -> np.ndarray:
-        return conv_encode_k7(
-            np.concatenate([bits, np.zeros(6, np.uint8)]))
+        self.msc_qam = msc_qam
 
     def superframe(self, sdc_payload: bytes,
                    msc_payload: bytes) -> np.ndarray:
         """One 3-frame superframe of passband audio (no silence pad)."""
-        sdc_bits = self._framed_bytes(sdc_payload)
-        msc_bits = self._framed_bytes(msc_payload)
-        # tile-to-fit FIRST, interleave LAST — the receiver
-        # deinterleaves the full cell stream
-        sdc_cells = qpsk_map(interleave(self._fit(
-            self._coded(sdc_bits), self._count_cells(True) * 2)))
-        msc_cells = qam16_map(interleave(self._fit(
-            self._coded(msc_bits), self._count_cells(False) * 4)))
-        si, mi = 0, 0
+        sdc_cells = SDC_MLC.encode(self._fit(
+            self._framed_bytes(sdc_payload), SDC_MLC.total_bits))
+        msc_mlc = MSC_MLC_16 if self.msc_qam == 16 else MSC_MLC_64
+        si = 0
         out = []
         for f in range(FRAMES_PER_SUPER):
-            fac_cells = qpsk_map(interleave(fac_encode(
+            fac_cells = fac_encode(
                 fac_pack(self.service_id, self.label_idx,
-                         frame_idx=f)[:72])))
-            fi = 0
+                         msc_qam=self.msc_qam, frame_idx=f)[:72])
+            # MSC is coded per transmission frame (MLC.cpp iN_mux =
+            # useful MSC cells per frame); same framed payload each
+            msc_cells = msc_mlc[f].encode(self._fit(
+                self._framed_bytes(msc_payload),
+                msc_mlc[f].total_bits))
+            fi, mi = 0, 0
             for sym in range(SYMS_PER_FRAME):
                 ssym = f * SYMS_PER_FRAME + sym
                 spec = np.zeros(TU, np.complex128)
@@ -300,13 +261,6 @@ class DrmTx:
         reps = -(-n // len(bits))
         return np.tile(bits, reps)[:n]
 
-    @staticmethod
-    def _count_cells(sdc: bool) -> int:
-        tot = 0
-        for f in range(FRAMES_PER_SUPER):
-            for sym in range(SYMS_PER_FRAME):
-                tot += len(data_cells(sym, f, want_sdc=sdc))
-        return tot
 
 
 # ---------------------------------------------------------------------------
@@ -420,11 +374,11 @@ class DrmRx:
                 if abs(hh) < 1e-9:
                     return None
                 cells.append(spec[k % TU] / hh)
-        soft = deinterleave(qpsk_soft(np.asarray(cells)))
-        return fac_soft_decode(soft)
+        return fac_cells_decode(np.asarray(cells))
 
     def _demod_super(self, bb, start, cfo):
-        sdc_cells, msc_cells, facs = [], [], []
+        sdc_cells, facs = [], []
+        msc_by_frame = [[] for _ in range(FRAMES_PER_SUPER)]
         for f in range(FRAMES_PER_SUPER):
             s0 = start + f * SYMS_PER_FRAME * TS
             fac = self._try_fac(bb, s0, cfo)
@@ -440,21 +394,25 @@ class DrmRx:
                 for k in data_cells(sym, f, want_sdc=True):
                     sdc_cells.append(spec[k % TU] / hmap[int(k)])
                 for k in data_cells(sym, f, want_sdc=False):
-                    msc_cells.append(spec[k % TU] / hmap[int(k)])
+                    msc_by_frame[f].append(spec[k % TU] / hmap[int(k)])
         out = [("drm_fac", facs[0])]
-        sdc = self._decode_stream(qpsk_soft(np.asarray(sdc_cells)))
+        sdc = self._frame_payload(SDC_MLC.decode(np.asarray(sdc_cells)))
         if sdc is not None:
             out.append(("drm_sdc", sdc))
-        msc = self._decode_stream(qam16_soft(np.asarray(msc_cells)))
-        if msc is not None:
-            out.append(("drm_msc", msc))
+        msc_mlc = (MSC_MLC_16 if facs[0]["msc_qam"] == 16
+                   else MSC_MLC_64)
+        seen = set()
+        for f in range(FRAMES_PER_SUPER):
+            msc = self._frame_payload(
+                msc_mlc[f].decode(np.asarray(msc_by_frame[f])))
+            if msc is not None and msc not in seen:
+                seen.add(msc)
+                out.append(("drm_msc", msc))
         return out
 
     @staticmethod
-    def _decode_stream(soft: np.ndarray) -> bytes | None:
-        soft = deinterleave(soft)
-        n = len(soft) - (len(soft) % 2)
-        bits = viterbi_decode_k7(soft[:n], tail=False)
+    def _frame_payload(bits: np.ndarray) -> bytes | None:
+        """length+CRC-16 framed byte stream -> payload or None."""
         data = np.packbits(bits[:len(bits) - len(bits) % 8]).tobytes()
         if len(data) < 4:
             return None

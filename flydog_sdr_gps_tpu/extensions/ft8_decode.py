@@ -161,6 +161,16 @@ class Ft8Message:
     extra: str = ""       # grid4 / report / RRR / RR73 / 73 / ""
 
 
+# standard-call character sets (`message.c` pack28/unpack28 and the
+# FT8 protocol description): position 1 allows a leading space,
+# positions 4-6 use space-FIRST alphabets — verified symbol-exact
+# against the compiled ft8_lib oracle (tests/test_ft8_oracle.py,
+# which caught the previous space-last ordering here)
+_A1 = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_A2 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_A4 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
 def _pack_basecall(call: str) -> int | None:
     call = call.upper().strip()
     if not (2 <= len(call) <= 6):
@@ -172,17 +182,11 @@ def _pack_basecall(call: str) -> int | None:
     call = " " * (2 - digit_positions[-1]) + call
     call = (call + "      ")[:6]
     try:
-        v = CHARSET.index(call[0])
-        v = v * 36 + CHARSET.index(call[1])
-        v = v * 10 + CHARSET.index(call[2])
+        v = _A1.index(call[0])
+        v = v * 36 + _A2.index(call[1])
+        v = v * 10 + int(call[2])
         for i in (3, 4, 5):
-            ch = call[i]
-            if ch == " ":
-                v = v * 27 + 26
-            elif ch.isalpha():
-                v = v * 27 + ord(ch) - ord("A")
-            else:
-                return None
+            v = v * 27 + _A4.index(call[i])
     except ValueError:
         return None
     return v
@@ -216,17 +220,17 @@ def unpack28(n28: int) -> str:
         return f"<{n28}>"             # hashed nonstandard call
     n = n28 - MAX22
     out = [""] * 6
-    out[5] = " " if n % 27 == 26 else chr(ord("A") + n % 27)
+    out[5] = _A4[n % 27]
     n //= 27
-    out[4] = " " if n % 27 == 26 else chr(ord("A") + n % 27)
+    out[4] = _A4[n % 27]
     n //= 27
-    out[3] = " " if n % 27 == 26 else chr(ord("A") + n % 27)
+    out[3] = _A4[n % 27]
     n //= 27
-    out[2] = CHARSET[n % 10]
+    out[2] = str(n % 10)
     n //= 10
-    out[1] = CHARSET[n % 36]
+    out[1] = _A2[n % 36]
     n //= 36
-    out[0] = CHARSET[n] if n < 37 else "?"
+    out[0] = _A1[n] if n < 37 else "?"
     return "".join(out).strip()
 
 

@@ -110,6 +110,12 @@ class DeviceSceneSource:
     ``make_block(ticks48) -> jax.Array`` runs jitted on device; the
     host only passes the 48-bit block start tick (as limbs), so no
     sample data ever crosses the host-device link.
+
+    Tones are ``(freq_hz, amplitude)`` carriers or
+    ``(freq_hz, amplitude, ("am", mod_freq_hz, depth))`` AM broadcast
+    signals; the modulating sinusoid is a second exact-integer NCO so
+    the scene stays phase-continuous forever (no float time variable
+    that loses precision as ticks grow).
     """
 
     def __init__(self, tones=(), noise_rms: float = 0.0,
@@ -122,27 +128,41 @@ class DeviceSceneSource:
         self.adc_clock = adc_clock
         self.block = block
         self.ticks = 0
-        fcws = [nco.to_limbs([nco.freq_to_fcw(f, adc_clock)])[0]
-                for (f, _a) in tones]
-        amps = [a for (_f, a) in tones]
-
         # per-tone phase carries kept as exact HOST integers: no
         # device round trips per block (the axon tunnel costs ~50 ms
         # per fetch, so the source must be fetch-free)
         self._nco = nco
-        self._fcw_ints = [nco.freq_to_fcw(f, adc_clock) for (f, _a) in tones]
-        self._fcws = fcws
-        self._amps = amps
+        self._fcw_ints = []     # carrier fcw, then each AM mod fcw
+        amps = []
+        mods = []               # per tone: None or (mod_index, depth)
+        for tone in tones:
+            f, a = tone[0], tone[1]
+            self._fcw_ints.append(nco.freq_to_fcw(f, adc_clock))
+            amps.append(a)
+            mods.append(None)
+        for ti, tone in enumerate(tones):
+            if len(tone) > 2 and tone[2] is not None:
+                kind, mf, depth = tone[2]
+                assert kind == "am"
+                mods[ti] = (len(self._fcw_ints), float(depth))
+                self._fcw_ints.append(nco.freq_to_fcw(mf, adc_clock))
+        fcws = [nco.to_limbs([w])[0] for w in self._fcw_ints]
         self._noise = noise_rms
-        self._phi_ints = [0 for _ in tones]
+        self._phi_ints = [0 for _ in self._fcw_ints]
         self._key = 0
 
         def make(phis, key):
             x = jnp.zeros((block,), jnp.float32)
-            for i, amp in enumerate(self._amps):
+            two_pi = jnp.float32(2 * np.pi)
+            for i, amp in enumerate(amps):
                 ph = nco.phase_ramp_long(phis[i], fcws[i], block)
-                x = x + jnp.float32(amp) * jnp.cos(
-                    jnp.float32(2 * np.pi) * ph)
+                carrier = jnp.cos(two_pi * ph)
+                if mods[i] is not None:
+                    mi, depth = mods[i]
+                    mph = nco.phase_ramp_long(phis[mi], fcws[mi], block)
+                    carrier = carrier * (1.0 + jnp.float32(depth)
+                                         * jnp.sin(two_pi * mph))
+                x = x + jnp.float32(amp) * carrier
             if noise_rms:
                 k = jax.random.PRNGKey(key)
                 x = x + noise_rms * jax.random.normal(k, (block,))

@@ -133,6 +133,52 @@ class Connection:
         self.last_active = time.time()      # user ACTIONS (tune etc.)
         self.tlimit_exempt = False    # password-holders are exempt
         self.kick = False             # policy loop marks, ws loop closes
+        # Bounded per-connection send queue + sender task: the block
+        # loop never awaits a socket, so one stalled client cannot
+        # freeze every stream (the reference decouples the same way
+        # with per-conn nbuf queues, `net/nbuf.cpp:1-337`).  When the
+        # queue is full the OLDEST packet is dropped — bounded latency,
+        # freshest audio — and the drop is counted.
+        self.sendq: asyncio.Queue | None = None
+        self._sender_task = None
+        self.send_drops = 0
+
+    SENDQ_MAX = 64                    # packets in flight per conn
+
+    def queue_bytes(self, ws, data: bytes) -> None:
+        """Enqueue one wire packet for this connection's sender task
+        (never blocks the caller; drops oldest when the client stalls)."""
+        if ws is None or ws.closed:
+            return
+        if self.sendq is None:
+            self.sendq = asyncio.Queue(maxsize=self.SENDQ_MAX)
+            self._sender_task = asyncio.get_running_loop().create_task(
+                self._sender_loop())
+        try:
+            self.sendq.put_nowait((ws, data))
+        except asyncio.QueueFull:
+            try:
+                self.sendq.get_nowait()         # drop oldest
+                self.send_drops += 1
+                self.sendq.put_nowait((ws, data))
+            except (asyncio.QueueEmpty, asyncio.QueueFull):
+                self.send_drops += 1
+
+    async def _sender_loop(self) -> None:
+        while True:
+            ws, data = await self.sendq.get()
+            if ws.closed:
+                continue
+            try:
+                await ws.send_bytes(data)
+            except (ConnectionResetError, RuntimeError):
+                pass
+
+    def close_sender(self) -> None:
+        if self._sender_task is not None:
+            self._sender_task.cancel()
+            self._sender_task = None
+            self.sendq = None
 
     # -- commands (rx/rx_cmd.cpp + rx_sound_cmd.cpp subset) -------------
     # SETs that count as user interaction for the inactivity timeout
@@ -513,14 +559,14 @@ class Connection:
     async def send_ext(self, tag: bytes, payload: bytes) -> None:
         ws = self.ext_ws or self.snd_ws
         if ws is not None and not ws.closed:
-            await ws.send_bytes(b"EXT " + tag + b" " + payload)
+            self.queue_bytes(ws, b"EXT " + tag + b" " + payload)
 
     # -- initial MSG volleys --------------------------------------------
     async def send_msg(self, which: str, **kv) -> None:
         ws = {"SND": self.snd_ws, "W/F": self.wf_ws,
               "EXT": self.ext_ws}.get(which)
         if ws is not None and not ws.closed:
-            await ws.send_bytes(packets.msg(**kv))
+            self.queue_bytes(ws, packets.msg(**kv))
 
     async def send_initial_snd_msgs(self) -> None:
         eng = self.server.engine
@@ -583,7 +629,7 @@ class Connection:
                 flags |= packets.SND_FLAG_LITTLE_ENDIAN
             pkt = packets.snd_packet(flags, self.snd_seq, smeter, payload)
         self.snd_seq += 1
-        await self.snd_ws.send_bytes(pkt)
+        self.queue_bytes(self.snd_ws, pkt)
 
     async def emit_wf_audio(self, audio_ch: np.ndarray) -> None:
         """Audio-FFT fallback rows (wf_chans=0 firmware, the
@@ -602,7 +648,7 @@ class Connection:
         row = np.clip(np.round(255.0 + db), 0, 255).astype(np.uint8)
         pkt = packets.wf_packet(0, 0, self.wf_seq, row.tobytes())
         self.wf_seq += 1
-        await self.wf_ws.send_bytes(pkt)
+        self.queue_bytes(self.wf_ws, pkt)
 
     async def emit_wf(self) -> None:
         """Send one waterfall row from the shared slot when this
@@ -642,7 +688,7 @@ class Connection:
         else:
             pkt = packets.wf_packet(self.start_bin, self.zoom,
                                     self.wf_seq, row.tobytes())
-        await self.wf_ws.send_bytes(pkt)
+        self.queue_bytes(self.wf_ws, pkt)
         ev(EV_WF, "row", f"z{self.zoom}")
         self.wf_seq += 1
 
@@ -794,6 +840,7 @@ class KiwiServer:
             self.engine.ctl[conn.rx_chan].in_use = False
         self.wf.detach(conn.wf_slot)
         conn.wf_slot = None
+        conn.close_sender()
         self.conns.pop(conn.ts, None)
 
     # -- websocket endpoints --------------------------------------------
@@ -1136,12 +1183,24 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 await asyncio.sleep(1.0)
 
     async def _block_loop_once_init(self):
+        """One block in flight: dispatch block N's device work, then
+        process block N-1's (already fetched or finishing) results —
+        the host fetch over the tunnel overlaps the device compute of
+        the next block, doubling the effective real-time budget at a
+        one-block latency cost (the reference buffers the same way in
+        its N_DPBUF=32 audio ring, `rx/data_pump.h:36`)."""
+        import os
         import jax.numpy as jnp
         loop = asyncio.get_running_loop()
         block_period = (self.engine.params.ddc.adc_block /
                         self.engine.params.adc_clock)
         next_t = time.monotonic()
+        pending = None          # (fetch handles, subs) of block N-1
+        prof = os.environ.get("KIWI_BLOCK_PROF") == "1"
+        t_stage = [0.0] * 4     # dispatch, gather, process, total
+        n_prof = 0
         while not self._stop.is_set():
+            t0 = time.monotonic()
             try:
                 taps = await loop.run_in_executor(
                     None, self.engine.run_block)
@@ -1151,13 +1210,13 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 traceback.print_exc()
                 await asyncio.sleep(0.5)
                 continue
+            t1 = time.monotonic()
             # ONE batched device fetch per block: the axon tunnel costs
             # ~50 ms latency per round trip, so per-connection fetches
             # would blow the 42.7 ms real-time budget.  Only the
             # SUBSCRIBED channels' columns cross the link: at C=4096
             # the full audio is ~32 MB/block (the serving wall); the
             # K-subscriber gather is K/4096 of that, sliced on-device.
-            import jax
             if self.autorun is not None:
                 self.autorun.tick()     # claim before the gather so a
                 #                         new unit's column is fetched
@@ -1179,63 +1238,31 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                     taps.iq_post_agc.im, jnp.asarray(idx))
             else:
                 cols = ()
-            fetch = cols + (taps.smeter_dbm, peak)
-            got = await loop.run_in_executor(None, jax.device_get, fetch)
-            smeter = got[-2]
-            # ADC overflow: input at/over full scale (the reference
-            # latches the FPGA ADC_OVFL line into the SND header and
-            # /status, rx/rx_util.cpp)
-            adc_ovfl = bool(got[-1] >= 0.99)
-            if adc_ovfl:
-                self.adc_ov_count += 1
-            chmap = {ch: i for i, ch in enumerate(subs)}
-            if subs:
-                host_taps = HostTaps(got[0], got[1], got[2], got[3],
-                                     smeter, chmap)
-                audio_np = host_taps.audio
-                audio2_np = host_taps.audio2
-                iq_np = (host_taps.iq_post_agc.re,
-                         host_taps.iq_post_agc.im)
-            else:
-                host_taps = None
-                audio_np = audio2_np = iq_np = None
             # ONE shared waterfall ingest per block serves every
-            # attached connection (reference: <=4 shared WF DDCs)
+            # attached connection (reference: <=4 shared WF DDCs);
+            # dispatched now, while _last_x is still this block's
             if self.wf_enabled and any(
                     c.authed and c.wf_ws is not None
                     and c.wf_slot is not None
                     for c in self.conns.values()):
                 await loop.run_in_executor(
                     None, self.wf.ingest, self.engine._last_x)
-            for conn in list(self.conns.values()):
-                try:
-                    # a conn that authed AFTER the subs snapshot has
-                    # no gathered column yet — it starts next block
-                    in_map = conn.rx_chan in chmap
-                    if conn.authed and conn.snd_ws is not None and \
-                            in_map:
-                        await conn.emit_snd_np(
-                            audio_np, iq_np,
-                            float(smeter[conn.rx_chan]),
-                            adc_ovfl=adc_ovfl, audio2_np=audio2_np)
-                    if conn.authed and conn.wf_ws is not None:
-                        if not self.wf_enabled:
-                            if in_map:
-                                await conn.emit_wf_audio(
-                                    audio_np[:, conn.rx_chan])
-                        elif conn.wf_slot is not None:
-                            await conn.emit_wf()
-                    if conn.ext is not None and host_taps is not None \
-                            and conn.rx_chan in chmap:
-                        msgs = await loop.run_in_executor(
-                            None, conn.ext.process_block, host_taps)
-                        for tag, payload in msgs:
-                            await conn.send_ext(tag.encode(), payload)
-                except ConnectionResetError:
-                    pass
-            if self.autorun is not None and host_taps is not None:
-                await loop.run_in_executor(
-                    None, self.autorun.process_block, host_taps)
+            t2 = time.monotonic()
+            if pending is not None:
+                await self._process_fetched(loop, *pending)
+            pending = (cols + (taps.smeter_dbm, peak), subs)
+            if prof:
+                t3 = time.monotonic()
+                t_stage[0] += t1 - t0
+                t_stage[1] += t2 - t1
+                t_stage[2] += t3 - t2
+                t_stage[3] += t3 - t0
+                n_prof += 1
+                if n_prof % 8 == 0:
+                    lprintf("blockprof n=%d dispatch=%.0fms "
+                            "gather+wf=%.0fms process=%.0fms "
+                            "total=%.0fms", n_prof,
+                            *(s / n_prof * 1e3 for s in t_stage))
             if self.realtime:
                 next_t += block_period
                 delay = next_t - time.monotonic()
@@ -1245,6 +1272,58 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                     next_t = time.monotonic()
             else:
                 await asyncio.sleep(0)
+
+    async def _process_fetched(self, loop, fetch, subs) -> None:
+        """Fetch one dispatched block's host copies and fan out."""
+        import jax
+        got = await loop.run_in_executor(None, jax.device_get, fetch)
+        smeter = got[-2]
+        # ADC overflow: input at/over full scale (the reference
+        # latches the FPGA ADC_OVFL line into the SND header and
+        # /status, rx/rx_util.cpp)
+        adc_ovfl = bool(got[-1] >= 0.99)
+        if adc_ovfl:
+            self.adc_ov_count += 1
+        chmap = {ch: i for i, ch in enumerate(subs)}
+        if subs:
+            host_taps = HostTaps(got[0], got[1], got[2], got[3],
+                                 smeter, chmap)
+            audio_np = host_taps.audio
+            audio2_np = host_taps.audio2
+            iq_np = (host_taps.iq_post_agc.re,
+                     host_taps.iq_post_agc.im)
+        else:
+            host_taps = None
+            audio_np = audio2_np = iq_np = None
+        for conn in list(self.conns.values()):
+            try:
+                # a conn that authed AFTER the subs snapshot has
+                # no gathered column yet — it starts next block
+                in_map = conn.rx_chan in chmap
+                if conn.authed and conn.snd_ws is not None and \
+                        in_map:
+                    await conn.emit_snd_np(
+                        audio_np, iq_np,
+                        float(smeter[conn.rx_chan]),
+                        adc_ovfl=adc_ovfl, audio2_np=audio2_np)
+                if conn.authed and conn.wf_ws is not None:
+                    if not self.wf_enabled:
+                        if in_map:
+                            await conn.emit_wf_audio(
+                                audio_np[:, conn.rx_chan])
+                    elif conn.wf_slot is not None:
+                        await conn.emit_wf()
+                if conn.ext is not None and host_taps is not None \
+                        and conn.rx_chan in chmap:
+                    msgs = await loop.run_in_executor(
+                        None, conn.ext.process_block, host_taps)
+                    for tag, payload in msgs:
+                        await conn.send_ext(tag.encode(), payload)
+            except ConnectionResetError:
+                pass
+        if self.autorun is not None and host_taps is not None:
+            await loop.run_in_executor(
+                None, self.autorun.process_block, host_taps)
 
     async def kick_conn(self, conn: Connection, reason: str) -> None:
         """Enforced disconnect: notify, close sockets, free the channel

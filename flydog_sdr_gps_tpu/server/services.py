@@ -115,10 +115,73 @@ def default_services(server, cfg=None,
         server.snr_measure(row)
 
     sched.register("snr_measure", 3600.0, snr_task, enabled=True)
-    sched.register("registry_checkin", 900.0,
-                   lambda: None, enabled=egress_allowed)
-    sched.register("ddns_update", 3600.0,
-                   lambda: None, enabled=egress_allowed)
-    sched.register("update_check", 86400.0,
-                   lambda: None, enabled=egress_allowed)
+
+    # real protocol bodies (server/netproto.py, server/update.py);
+    # egress is gated ONLY at the transport: without the opt-in these
+    # services stay disabled, but their logic is the production code
+    # exercised by the mock-endpoint tests (tests/test_netproto.py)
+    from . import netproto
+    from .update import UpdateManager
+
+    async def _fetch(url, data=None, headers=None):
+        import aiohttp
+        async with aiohttp.ClientSession() as s:
+            meth = s.post if data is not None else s.get
+            kw = dict(headers=headers or {})
+            if data is not None:
+                kw["data"] = data
+            async with meth(url, **kw) as r:
+                return r.status, await r.read()
+
+    registry_base = (cfg.string("registry_url", "")
+                     if cfg else "") or \
+        "https://kiwisdr.com/php/update.php"
+
+    async def registry_task():
+        ok = await netproto.registry_checkin(_fetch, registry_base,
+                                             server)
+        if not ok:
+            raise RuntimeError("registry check-in refused")
+
+    async def ddns_task():
+        info = await netproto.public_ip_lookup(_fetch)
+        if info is None:
+            raise RuntimeError("no public-ip API reachable")
+        server.public_ip = info["ip"]
+        host = cfg.string("ddns_hostname", "") if cfg else ""
+        if host:
+            word = await netproto.ddns_update(
+                _fetch, cfg.string("ddns_url", ""), host, info["ip"],
+                auth=cfg.string("ddns_auth", "") or None)
+            if word not in ("good", "nochg"):
+                raise RuntimeError(f"ddns: {word}")
+
+    upd = UpdateManager(
+        runner=None if not egress_allowed else _shell_runner,
+        install_enabled=bool(cfg and cfg.bool("update_install",
+                                              False)))
+    server.update_mgr = upd
+
+    def update_task():
+        st = upd.check()
+        if upd.restart_requested:
+            server.restart_requested = True
+            server._restart_event.set()
+        if st["f"]:
+            raise RuntimeError(f"update fail reason {st['f']}")
+
+    sched.register("registry_checkin", 900.0, registry_task,
+                   enabled=egress_allowed)
+    sched.register("ddns_update", 3600.0, ddns_task,
+                   enabled=egress_allowed)
+    sched.register("update_check", 86400.0, update_task,
+                   enabled=egress_allowed)
     return sched
+
+
+def _shell_runner(cmd: str):
+    """Subprocess step runner for UpdateManager (real deployments)."""
+    import subprocess
+    r = subprocess.run(cmd, shell=True, capture_output=True,
+                       text=True, timeout=600)
+    return r.returncode, r.stdout + r.stderr

@@ -68,6 +68,18 @@ PAGE = r"""<!doctype html>
         style="display:none;width:360px;background:#181818"></canvas>
 <canvas id="spec" width="1024" height="80"></canvas>
 <canvas id="wf" width="1024" height="360"></canvas>
+<!-- per-extension panels (reference: web/extensions/<name>/*.js):
+     image canvas (SSTV/FAX), scope canvas (IQ scatter / S-meter
+     graph / audio FFT), spot table (WSPR/FT8/FT4), text console -->
+<div id="panel" style="display:none">
+ <canvas id="extimg" width="1024" height="256"
+   style="display:none;background:#000;image-rendering:pixelated">
+ </canvas>
+ <canvas id="extscope" width="360" height="240"
+   style="display:none;background:#000;width:360px"></canvas>
+ <table id="spots" style="display:none;border-spacing:8px 2px;
+   font-size:13px;font-family:monospace"></table>
+</div>
 <pre id="extout" style="display:none; background:#000; max-height:140px;
  overflow:auto; font-size:12px; width:1008px; padding:8px"></pre>
 <div id="stat">connecting…</div>
@@ -215,12 +227,11 @@ function openSnd() {
   snd_ws.onmessage = (e) => {
     const u8 = new Uint8Array(e.data);
     const tag = String.fromCharCode(u8[0], u8[1], u8[2]);
-    if (tag === "EXT") {           // "EXT <tag> <payload>"
-      const s = new TextDecoder("utf-8", {fatal:false})
-          .decode(u8.subarray(4));
-      const box = document.getElementById("extout");
-      box.textContent = (box.textContent + s + "\n").slice(-4000);
-      box.scrollTop = box.scrollHeight;
+    if (tag === "EXT") {           // "EXT <tag> <payload>" (binary-safe)
+      let sp = 4;
+      while (sp < u8.length && u8[sp] !== 32) sp++;
+      const etag = new TextDecoder().decode(u8.subarray(4, sp));
+      extDispatch(etag, u8.subarray(sp + 1));
       return;
     }
     if (tag !== "SND") return;     // MSG frames: ignore (params known)
@@ -258,6 +269,126 @@ function playPcm(pcm) {
     playTime = actx.currentTime + 0.15;
   src.start(playTime);
   playTime += buf.duration;
+}
+
+// ---------------- per-extension panels ----------------
+// (reference: web/extensions/<name>/*.js — image render for
+// SSTV/FAX, spot tables for WSPR/FT8/FT4, IQ scatter, S-meter
+// graph, audio-FFT display)
+let imgLine = 0, smHist = [];
+function panelShow(which) {        // which: img|scope|spots|null
+  ["extimg", "extscope", "spots"].forEach((id) => {
+    document.getElementById(id).style.display =
+        (which && id.startsWith(which)) ? "block" : "none";
+  });
+}
+function extText(s) {
+  const box = document.getElementById("extout");
+  box.textContent = (box.textContent + s + "\n").slice(-4000);
+  box.scrollTop = box.scrollHeight;
+}
+function spotRow(kind, text) {
+  panelShow("spots");
+  const tb = document.getElementById("spots");
+  if (!tb.rows.length) {
+    const h = tb.insertRow();
+    ["UTC", "type", "message"].forEach((t) => {
+      const c = document.createElement("th");
+      c.textContent = t; c.style.textAlign = "left"; h.appendChild(c);
+    });
+  }
+  const r = tb.insertRow(1);
+  r.insertCell().textContent =
+      new Date().toISOString().slice(11, 19);
+  r.insertCell().textContent = kind;
+  r.insertCell().textContent = text;
+  while (tb.rows.length > 21) tb.deleteRow(-1);
+}
+function drawImgRow(rgba, w) {
+  panelShow("img");
+  const c = document.getElementById("extimg");
+  const g = c.getContext("2d");
+  if (imgLine >= c.height) {      // scroll up when full
+    g.drawImage(c, 0, 1, w, c.height - 1, 0, 0, w, c.height - 1);
+    imgLine = c.height - 1;
+  }
+  g.putImageData(new ImageData(rgba, w, 1), 0, imgLine);
+  imgLine++;
+}
+function extDispatch(etag, pl) {
+  if (etag === "sstv_line") {     // [line u8] + planar RGB rows
+    const px = (pl.length - 1) / 3;
+    const rgba = new Uint8ClampedArray(px * 4);
+    for (let i = 0; i < px; i++) {
+      rgba[4*i] = pl[1 + i];              // R plane
+      rgba[4*i+1] = pl[1 + px + i];       // G plane
+      rgba[4*i+2] = pl[1 + 2*px + i];     // B plane
+      rgba[4*i+3] = 255;
+    }
+    if (pl[0] === 0) { imgLine = 0; }
+    drawImgRow(rgba, px);
+  } else if (etag === "fax_line") {       // grayscale pixels
+    const px = pl.length;
+    const rgba = new Uint8ClampedArray(px * 4);
+    for (let i = 0; i < px; i++) {
+      rgba[4*i] = rgba[4*i+1] = rgba[4*i+2] = pl[i]; rgba[4*i+3] = 255;
+    }
+    drawImgRow(rgba, px);
+  } else if (etag === "iq") {             // f32le (re,im) pairs
+    panelShow("scope");
+    const g = document.getElementById("extscope").getContext("2d");
+    g.fillStyle = "rgba(0,0,0,0.25)"; g.fillRect(0, 0, 360, 240);
+    g.strokeStyle = "#333"; g.beginPath();
+    g.moveTo(180, 0); g.lineTo(180, 240);
+    g.moveTo(60, 120); g.lineTo(300, 120); g.stroke();
+    const dv = new DataView(pl.buffer, pl.byteOffset, pl.byteLength);
+    g.fillStyle = "#4f4";
+    for (let i = 0; i + 8 <= pl.byteLength; i += 8) {
+      const re = dv.getFloat32(i, true), im = dv.getFloat32(i+4, true);
+      g.fillRect(180 + re * 110, 120 - im * 110, 2, 2);
+    }
+  } else if (etag === "smeter") {         // f32le dBm history graph
+    panelShow("scope");
+    const dv = new DataView(pl.buffer, pl.byteOffset, pl.byteLength);
+    smHist.push(dv.getFloat32(0, true));
+    if (smHist.length > 360) smHist.shift();
+    const g = document.getElementById("extscope").getContext("2d");
+    g.fillStyle = "#000"; g.fillRect(0, 0, 360, 240);
+    g.strokeStyle = "#444";
+    for (let db = -120; db <= -20; db += 20) {
+      const y = 240 - (db + 127) / 107 * 240;
+      g.beginPath(); g.moveTo(0, y); g.lineTo(360, y); g.stroke();
+      g.fillStyle = "#666"; g.fillText(db + "", 2, y - 2);
+    }
+    g.strokeStyle = "#4f4"; g.beginPath();
+    smHist.forEach((db, i) => {
+      const y = 240 - Math.max(0, Math.min(240, (db + 127) / 107 * 240));
+      if (i === 0) g.moveTo(i, y); else g.lineTo(i, y);
+    });
+    g.stroke();
+  } else if (etag === "fft") {            // f32le dB spectrum
+    panelShow("scope");
+    const dv = new DataView(pl.buffer, pl.byteOffset, pl.byteLength);
+    const n = pl.byteLength / 4;
+    const g = document.getElementById("extscope").getContext("2d");
+    g.fillStyle = "#000"; g.fillRect(0, 0, 360, 240);
+    g.strokeStyle = "#4cf"; g.beginPath();
+    for (let i = 0; i < n; i++) {
+      const db = dv.getFloat32(4 * i, true);
+      const y = 240 - Math.max(0, Math.min(240, (db + 120) / 120 * 240));
+      const x = i / n * 360;
+      if (i === 0) g.moveTo(x, y); else g.lineTo(x, y);
+    }
+    g.stroke();
+  } else if (etag.endsWith("_decode") || etag === "ale_word" ||
+             etag === "hfdl_mpdu") {      // spot-table rows
+    const s = new TextDecoder("utf-8", {fatal:false}).decode(pl);
+    spotRow(etag.replace("_decode", "").replace("_mpdu", ""), s);
+    extText(etag + " " + s);
+  } else {                                // status/chars/etc: console
+    const s = new TextDecoder("utf-8", {fatal:false}).decode(pl);
+    extText(etag + " " + s);
+  }
 }
 
 function updSmeter(dbm) {
@@ -418,12 +549,20 @@ EXTENSIONS.forEach((n) => {
 });
 extSel.onchange = () => {
   const box = document.getElementById("extout");
+  const panel = document.getElementById("panel");
+  imgLine = 0; smHist = [];
+  document.getElementById("spots").textContent = "";
+  const ic = document.getElementById("extimg");
+  ic.getContext("2d").clearRect(0, 0, ic.width, ic.height);
+  panelShow(null);
   if (extSel.value) {
     setMsg(snd_ws, "ext_switch_to_client=" + extSel.value);
+    panel.style.display = "block";
     box.style.display = "block";
     box.textContent = "";
   } else {
     setMsg(snd_ws, "ext_blur");
+    panel.style.display = "none";
     box.style.display = "none";
   }
 };

