@@ -55,6 +55,10 @@ class ShardedStreamEngine(StreamEngine):
         super().retune_all(adc_clock_corrected)
         self.tuning = parallel.shard_rx_tuning(self.tuning, self.mesh)
 
+    # the fused step+gather fast path compiles the UNSHARDED program;
+    # the sharded engine keeps the plain two-dispatch path
+    run_block_gather = None
+
     # -- data plane ----------------------------------------------------------
     def run_block(self):
         """Identical to the parent except ingest: the block is placed

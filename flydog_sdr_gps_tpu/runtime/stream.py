@@ -156,6 +156,41 @@ class StreamEngine:
             fn(self, taps)
         return taps
 
+    def run_block_gather(self, idx: np.ndarray):
+        """One FUSED dispatch for the serving path: advance the block
+        AND slice the subscribed channels' tap columns on-device.
+
+        The serving loop used to dispatch 3 programs per block (step,
+        peak, gather); over the high-latency axon tunnel every extra
+        dispatch is round-trip exposure and the tunnel degrades under
+        chatty workloads (see .claude/skills/verify).  Returns
+        ``(audio_cols, audio2_cols, iq_re_cols, iq_im_cols,
+        smeter_dbm, peak)`` device handles; one jit per bucket size.
+        """
+        params = self.params
+        if not hasattr(self, "_gstep_cache"):
+            self._gstep_cache = {}
+        key = len(idx)
+        if key not in self._gstep_cache:
+            def gstep(s, t, x, i):
+                s2, taps = rx.rx_block(params, s, t, x)
+                cols = tuple(jnp.take(a, i, axis=1) for a in (
+                    taps.audio, taps.audio2, taps.iq_post_agc.re,
+                    taps.iq_post_agc.im))
+                return s2, cols + (taps.smeter_dbm,
+                                   jnp.max(jnp.abs(x)))
+            self._gstep_cache[key] = jax.jit(gstep)
+        ticks = getattr(self.source, "ticks", 0)
+        x = self.source.next_block(params.ddc.adc_block)
+        if isinstance(x, np.ndarray):
+            x = jnp.asarray(x)
+        self._last_x = x
+        self.state, out = self._gstep_cache[key](
+            self.state, self.tuning, x, jnp.asarray(idx))
+        self.block_ticks = ticks
+        self.seq += 1
+        return out
+
     def reset_streaming_state(self) -> None:
         """Full streaming-state reset (data-pump reset analogue)."""
         self.state = rx.init_state(self.params)

@@ -1117,6 +1117,84 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                     await self.kick_conn(conn, "admin")
                     n += 1
                 await ws.send_bytes(packets.msg(kicked=n))
+            elif cmd == "users":
+                # connection inspector (`ui/admin.cpp` user list with
+                # IPs — admin sees everything)
+                rows = []
+                for c in self.conns.values():
+                    rows.append({
+                        "ts": c.ts, "ch": c.rx_chan, "ip": c.ip,
+                        "n": c.ident, "f": c.freq_khz, "m": c.mode,
+                        "geo": c.geo, "browser": c.browser,
+                        "camp": c.camping,
+                        "drops": c.send_drops,
+                        "t": int(time.time() - c.conn_start)})
+                await ws.send_bytes(b"USERS " + json.dumps(
+                    rows, separators=(",", ":")).encode())
+            elif cmd == "kick":
+                # kick one connection by its ts
+                c = self.conns.get(p.get("ts", ""))
+                if c is not None:
+                    await self.kick_conn(c, "admin")
+                await ws.send_bytes(packets.msg(kicked=int(
+                    c is not None)))
+            elif cmd == "gps":
+                # GPS control/status tab (`ui/admin.cpp` GPS tab)
+                st = ({"enabled": False} if self.gps is None
+                      else dict(self.gps.status(), enabled=True))
+                await ws.send_bytes(b"GPS " + json.dumps(
+                    st, separators=(",", ":")).encode())
+            elif cmd == "dx_list":
+                rows = [[gid] + lab.to_json() for gid, lab in
+                        enumerate(self.dx.labels)]
+                await ws.send_bytes(b"DXL " + json.dumps(
+                    rows, separators=(",", ":")).encode())
+            elif cmd == "dx_upd":
+                # DX label editor (`init/dx.cpp` admin edit path):
+                # f=-1 deletes gid; g=-1 adds; else updates gid
+                from urllib.parse import unquote
+                try:
+                    gid = int(p.get("g", -1))
+                    f = float(p.get("f", -1))
+                except ValueError:
+                    continue
+                if f < 0:
+                    self.dx.delete_gid(gid)
+                else:
+                    self.dx.update_gid(gid, dx_mod.DxLabel(
+                        freq_khz=f,
+                        mode=str(p.get("m", "am"))[:8],
+                        ident=unquote(str(p.get("i", "")))[:255],
+                        notes=unquote(str(p.get("n", "")))[:255]))
+                self.dx.save()
+                await ws.send_bytes(packets.msg(dx_seq=self.dx.seq))
+                for c in list(self.conns.values()):
+                    for w in ("SND", "W/F"):
+                        try:
+                            await c.send_msg(w, request_dx_update=1)
+                        except Exception:
+                            pass
+            elif cmd in ("update_status", "update_check",
+                         "update_build"):
+                # update tab (`net/update.cpp` report_result +
+                # check/build-now buttons)
+                upd = getattr(self, "update_mgr", None)
+                if upd is None:
+                    from .update import UpdateManager
+                    upd = self.update_mgr = UpdateManager()
+                if cmd == "update_check":
+                    await asyncio.get_running_loop().run_in_executor(
+                        None, upd.check)
+                elif cmd == "update_build":
+                    await asyncio.get_running_loop().run_in_executor(
+                        None, upd.check, True)
+                st = dict(upd.status())
+                st["log"] = upd.build_log[-40:]
+                await ws.send_bytes(b"UPD " + json.dumps(
+                    st, separators=(",", ":")).encode())
+                if upd.restart_requested:
+                    self.restart_requested = True
+                    self._restart_event.set()
 
     async def wait_restart(self) -> None:
         """Block until an admin requests a restart (run_server.py's
@@ -1201,22 +1279,14 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         n_prof = 0
         while not self._stop.is_set():
             t0 = time.monotonic()
-            try:
-                taps = await loop.run_in_executor(
-                    None, self.engine.run_block)
-            except Exception as e:      # noqa: BLE001 — keep serving
-                import traceback
-                lprintf("block_loop error: %s", e)
-                traceback.print_exc()
-                await asyncio.sleep(0.5)
-                continue
-            t1 = time.monotonic()
-            # ONE batched device fetch per block: the axon tunnel costs
-            # ~50 ms latency per round trip, so per-connection fetches
-            # would blow the 42.7 ms real-time budget.  Only the
-            # SUBSCRIBED channels' columns cross the link: at C=4096
-            # the full audio is ~32 MB/block (the serving wall); the
-            # K-subscriber gather is K/4096 of that, sliced on-device.
+            # ONE fused dispatch + ONE batched fetch per block: the
+            # axon tunnel costs ~25-50 ms latency per round trip and
+            # degrades under chatty dispatch patterns, so the step,
+            # the subscribed-channel column gather (K/4096 of the
+            # ~32 MB full audio at C=4096), the S-meter and the ADC
+            # peak all ride one compiled program
+            # (StreamEngine.run_block_gather); a sharded engine (no
+            # fused path) falls back to step + separate gather.
             if self.autorun is not None:
                 self.autorun.tick()     # claim before the gather so a
                 #                         new unit's column is fetched
@@ -1225,19 +1295,35 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                  if c.rx_chan is not None and c.authed}
                 | (self.autorun.channels
                    if self.autorun is not None else set()))
-            peak = (jnp.max(jnp.abs(self.engine._last_x))
-                    if self.engine._last_x is not None else jnp.float32(0))
-            if subs:
-                bucket = 1
-                while bucket < len(subs):
-                    bucket *= 2
-                idx = np.zeros(bucket, np.int32)
-                idx[:len(subs)] = subs
-                cols = self._gather_cols(
-                    taps.audio, taps.audio2, taps.iq_post_agc.re,
-                    taps.iq_post_agc.im, jnp.asarray(idx))
-            else:
-                cols = ()
+            bucket = 1
+            while bucket < len(subs):
+                bucket *= 2
+            idx = np.zeros(bucket, np.int32)
+            idx[:len(subs)] = subs
+            fused = getattr(self.engine, "run_block_gather", None)
+            try:
+                if subs and fused is not None:
+                    out = await loop.run_in_executor(
+                        None, fused, idx)
+                    fetch = out          # cols + (smeter, peak)
+                else:
+                    taps = await loop.run_in_executor(
+                        None, self.engine.run_block)
+                    peak = (jnp.max(jnp.abs(self.engine._last_x))
+                            if self.engine._last_x is not None
+                            else jnp.float32(0))
+                    cols = (self._gather_cols(
+                        taps.audio, taps.audio2, taps.iq_post_agc.re,
+                        taps.iq_post_agc.im, jnp.asarray(idx))
+                        if subs else ())
+                    fetch = cols + (taps.smeter_dbm, peak)
+            except Exception as e:      # noqa: BLE001 — keep serving
+                import traceback
+                lprintf("block_loop error: %s", e)
+                traceback.print_exc()
+                await asyncio.sleep(0.5)
+                continue
+            t1 = time.monotonic()
             # ONE shared waterfall ingest per block serves every
             # attached connection (reference: <=4 shared WF DDCs);
             # dispatched now, while _last_x is still this block's
@@ -1250,7 +1336,7 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             t2 = time.monotonic()
             if pending is not None:
                 await self._process_fetched(loop, *pending)
-            pending = (cols + (taps.smeter_dbm, peak), subs)
+            pending = (fetch, subs)
             if prof:
                 t3 = time.monotonic()
                 t_stage[0] += t1 - t0
@@ -1286,6 +1372,12 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             self.adc_ov_count += 1
         chmap = {ch: i for i, ch in enumerate(subs)}
         if subs:
+            # NaN-poison auto-reset (data-pump reset analogue): the
+            # fused serve path bypasses run_block's periodic check,
+            # so audit the fetched host copies instead
+            if not np.all(np.isfinite(got[0])):
+                lprintf("non-finite audio — streaming state reset")
+                self.engine.reset_streaming_state()
             host_taps = HostTaps(got[0], got[1], got[2], got[3],
                                  smeter, chmap)
             audio_np = host_taps.audio

@@ -665,10 +665,38 @@ ADMIN_PAGE = r"""<!doctype html>
 <div id="main" style="display:none">
  <button class="tab on" data-t="status">status</button>
  <button class="tab" data-t="setup">setup</button>
+ <button class="tab" data-t="users">users</button>
+ <button class="tab" data-t="dx">dx</button>
+ <button class="tab" data-t="gpstab">gps</button>
+ <button class="tab" data-t="update">update</button>
  <button class="tab" data-t="config">config</button>
  <button class="tab" data-t="log">log</button>
  <section id="status" class="on"><pre id="stats"></pre>
    <button id="refresh">refresh</button></section>
+ <section id="users">
+  <table id="utab" style="border-spacing:8px 2px;font-size:13px;
+    font-family:monospace"></table>
+  <button id="uref">refresh</button>
+  <button id="ukickall">kick all</button>
+ </section>
+ <section id="dx">
+  <div style="max-height:260px;overflow:auto">
+   <table id="dxtab" style="border-spacing:8px 1px;font-size:12px;
+     font-family:monospace"></table></div>
+  gid <input id="dxg" size="5" value="-1">
+  kHz <input id="dxf" size="9"> mode <input id="dxm" size="5"
+    value="am"> ident <input id="dxi" size="16">
+  notes <input id="dxn" size="16">
+  <button id="dxadd">add/update</button>
+  <button id="dxdel">delete gid</button>
+  <button id="dxref">refresh</button> <span id="dxmsg"></span>
+ </section>
+ <section id="gpstab"><pre id="gpsbox"></pre>
+  <button id="gpsref">refresh</button></section>
+ <section id="update"><pre id="updbox"></pre>
+  <button id="updstat">status</button>
+  <button id="updcheck">check now</button>
+  <button id="updbuild">build now</button></section>
  <section id="setup">
   <table id="forms" style="border-spacing:6px">
    <tr><td>server name</td><td><input id="f_name" size="28"></td></tr>
@@ -738,9 +766,87 @@ document.getElementById("go").onclick = () => {
       fillForms(doc);
     } else if (s.startsWith("LOG ")) {
       document.getElementById("logbox").textContent = s.slice(4);
+    } else if (s.startsWith("USERS ")) {
+      renderUsers(JSON.parse(s.slice(6)));
+    } else if (s.startsWith("DXL ")) {
+      renderDx(JSON.parse(s.slice(4)));
+    } else if (s.startsWith("GPS ")) {
+      document.getElementById("gpsbox").textContent =
+          JSON.stringify(JSON.parse(s.slice(4)), null, 1);
+    } else if (s.startsWith("UPD ")) {
+      const u = JSON.parse(s.slice(4));
+      document.getElementById("updbox").textContent =
+          "installed v" + u.v1 + "." + u.v2 +
+          (u.p1 || u.p2 ? "  pending v" + u.p1 + "." + u.p2 : "") +
+          "  fail_reason=" + u.f + " pending=" + u.p +
+          "\n\n--- build log ---\n" + (u.log || []).join("\n");
     }
   };
 };
+// ---- connection inspector ----
+function renderUsers(rows) {
+  const tb = document.getElementById("utab");
+  tb.textContent = "";
+  const h = tb.insertRow();
+  ["ch","ident","ip","geo","freq","mode","conn s","drops",""]
+    .forEach((t) => {
+      const c = document.createElement("th");
+      c.textContent = t; c.style.textAlign = "left"; h.appendChild(c);
+    });
+  rows.forEach((r) => {
+    const tr = tb.insertRow();
+    [r.ch, r.n, r.ip, r.geo, r.f, r.m, r.t, r.drops].forEach((v) => {
+      tr.insertCell().textContent = v === null ? "-" : v;
+    });
+    const b = document.createElement("button");
+    b.textContent = "kick";
+    b.onclick = () => { send("kick ts=" + r.ts); send("users"); };
+    tr.insertCell().appendChild(b);
+  });
+}
+// ---- DX label editor ----
+function renderDx(rows) {
+  const tb = document.getElementById("dxtab");
+  tb.textContent = "";
+  const h = tb.insertRow();
+  ["gid","kHz","mode","ident","notes"].forEach((t) => {
+    const c = document.createElement("th");
+    c.textContent = t; c.style.textAlign = "left"; h.appendChild(c);
+  });
+  rows.slice(0, 400).forEach((r) => {
+    const tr = tb.insertRow();
+    [r[0], r[1], r[2], r[3], r[4]].forEach((v) => {
+      tr.insertCell().textContent = v;
+    });
+    tr.onclick = () => {
+      document.getElementById("dxg").value = r[0];
+      document.getElementById("dxf").value = r[1];
+      document.getElementById("dxm").value = r[2];
+      document.getElementById("dxi").value = r[3];
+      document.getElementById("dxn").value = r[4];
+    };
+  });
+  document.getElementById("dxmsg").textContent =
+      rows.length + " labels" + (rows.length > 400 ?
+      " (showing first 400)" : "");
+}
+document.getElementById("uref").onclick = () => send("users");
+document.getElementById("ukickall").onclick = () => {
+  send("kick_all"); send("users");
+};
+document.getElementById("dxref").onclick = () => send("dx_list");
+document.getElementById("dxadd").onclick = () => send(
+  "dx_upd g=" + document.getElementById("dxg").value +
+  " f=" + document.getElementById("dxf").value +
+  " m=" + document.getElementById("dxm").value +
+  " i=" + encodeURIComponent(document.getElementById("dxi").value) +
+  " n=" + encodeURIComponent(document.getElementById("dxn").value));
+document.getElementById("dxdel").onclick = () => send(
+  "dx_upd g=" + document.getElementById("dxg").value + " f=-1");
+document.getElementById("gpsref").onclick = () => send("gps");
+document.getElementById("updstat").onclick = () => send("update_status");
+document.getElementById("updcheck").onclick = () => send("update_check");
+document.getElementById("updbuild").onclick = () => send("update_build");
 // ---- setup forms: structured fields writing cfg keys ----
 const FORM_KEYS = [
   ["f_name", "server_name"], ["f_loc", "location"],
@@ -771,6 +877,10 @@ document.querySelectorAll(".tab").forEach((b) => {
         (x) => x.classList.toggle("on", x === b));
     document.querySelectorAll("section").forEach(
         (x) => x.classList.toggle("on", x.id === b.dataset.t));
+    const refresh = { users: "users", dx: "dx_list", gpstab: "gps",
+                      update: "update_status", log: "log n=100",
+                      status: "stats" };
+    if (refresh[b.dataset.t]) send(refresh[b.dataset.t]);
   };
 });
 document.getElementById("refresh").onclick = () => send("stats");

@@ -229,3 +229,76 @@ def test_hashed_admin_password_and_hmac_token():
             await runner.cleanup()
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
         run())
+
+
+async def admin_tabs_scenario():
+    """Round-4 admin depth: connection inspector, DX label editor,
+    GPS tab, update tab (`ui/admin.cpp:325` surface)."""
+    params = rx.RxParams(num_channels=2, audio_block=128)
+    src = SyntheticSource(tones=((14.201e6, 0.5),), noise_rms=0.001)
+    eng = StreamEngine(params, src)
+    server = KiwiServer(eng, cfg=Config(), port=PORT + 6,
+                        realtime=False)
+    runner = await server.start()
+    try:
+        async with aiohttp.ClientSession() as s:
+            base = f"http://127.0.0.1:{PORT + 6}"
+            ws = await s.ws_connect(f"{base}/1/ADMIN")
+            await ws.send_str("SET auth t=admin p=")
+            assert b"badp=0" in (await ws.receive()).data
+
+            # one live user to inspect + kick
+            snd = await s.ws_connect(f"{base}/u1/SND")
+            await snd.send_str("SET auth t=kiwi p=")
+            await snd.send_str("SET ident_user=insp")
+            await asyncio.sleep(0.3)
+
+            await ws.send_str("SET users")
+            m = await ws.receive()
+            assert m.data.startswith(b"USERS ")
+            rows = json.loads(m.data[6:])
+            assert any(r["n"] == "insp" and r["ip"] for r in rows)
+
+            # DX editor: add, list, delete
+            await ws.send_str(
+                "SET dx_upd g=-1 f=7040.1 m=usb i=TESTLBL n=note")
+            assert b"dx_seq=" in (await ws.receive()).data
+            await ws.send_str("SET dx_list")
+            m = await ws.receive()
+            assert m.data.startswith(b"DXL ")
+            labels = json.loads(m.data[4:])
+            hit = [r for r in labels if r[3] == "TESTLBL"]
+            assert hit and hit[0][1] == 7040.1
+            await ws.send_str(f"SET dx_upd g={hit[0][0]} f=-1")
+            assert b"dx_seq=" in (await ws.receive()).data
+
+            # GPS tab (disabled in this server: honest status)
+            await ws.send_str("SET gps")
+            m = await ws.receive()
+            assert m.data.startswith(b"GPS ")
+            assert json.loads(m.data[4:])["enabled"] is False
+
+            # update tab: status reports the installed version and a
+            # no-egress check fails gracefully with a fail reason
+            await ws.send_str("SET update_status")
+            m = await ws.receive()
+            assert m.data.startswith(b"UPD ")
+            st = json.loads(m.data[4:])
+            assert st["v1"] == 0 and st["i"] == 0
+            await ws.send_str("SET update_check")
+            m = await ws.receive()
+            st = json.loads(m.data[4:])
+            assert st["f"] != 0          # egress-gated: fails, no crash
+
+            # kick by ts
+            await ws.send_str("SET kick ts=u1")
+            assert b"kicked=1" in (await ws.receive()).data
+            await asyncio.sleep(0.2)
+            assert "u1" not in server.conns
+    finally:
+        await server.stop()
+        await runner.cleanup()
+
+
+def test_admin_tabs():
+    asyncio.run(asyncio.wait_for(admin_tabs_scenario(), timeout=120))

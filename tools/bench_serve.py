@@ -35,6 +35,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/repo/.jax_cache")
+# jax is pre-imported at interpreter startup in this environment, so
+# the env var alone never reaches the config — set it explicitly or
+# every run pays the full (minutes-long) remote recompile
+import jax  # noqa: E402
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+try:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 import numpy as np
 
@@ -44,7 +53,12 @@ def log(*a):
 
 
 async def _client(port: int, ts: str, freq_khz: float, n_blocks: int,
-                  stats: dict, timeout_s: float):
+                  stats: dict, timeout_s: float, warmup: int = 6):
+    """SND bench client.  The first ``warmup`` packets are excluded
+    from the measurement: they ride residual jit compiles (subscriber
+    gather buckets) and tunnel cold-start, not the steady serving
+    rate this benchmark is after — the sustained factor is what
+    capacity planning uses."""
     import aiohttp
     t_end = time.time() + timeout_s
     async with aiohttp.ClientSession() as sess:
@@ -56,6 +70,7 @@ async def _client(port: int, ts: str, freq_khz: float, n_blocks: int,
                 f"freq={freq_khz}")
             await ws.send_str("SET compression=1")
             pkts = 0
+            seen = 0
             samples = 0
             t0 = None
             last_ka = time.time()
@@ -77,9 +92,10 @@ async def _client(port: int, ts: str, freq_khz: float, n_blocks: int,
                     continue
                 if not m.data.startswith(b"SND"):
                     continue
-                if t0 is None:
-                    t0 = time.time()     # first packet starts the clock
-                    continue             # (skip warm-up packet)
+                seen += 1
+                if seen <= warmup:
+                    t0 = time.time()     # clock starts after warm-up
+                    continue
                 pkts += 1
                 # hdr: SND(3) flags(1) seq(4) smeter(2); ADPCM = 2
                 # samples/byte, s16 = 1 sample / 2 bytes
@@ -121,8 +137,11 @@ async def _run(C: int, block: int, n_clients: int, n_blocks: int,
 
         stats = [dict() for _ in range(n_clients)]
         rf_block = block / params.fs_out        # audio s per block
-        # allow 4x realtime wall for the run, min 120 s
-        timeout_s = max(120.0, 4.0 * rf_block * n_blocks)
+        # generous wall: the K-subscriber fused program compiles on
+        # first subscription (minutes through the remote helper on a
+        # cold cache; seconds once the persistent cache has it) and
+        # the warm-up skip keeps it out of the measurement
+        timeout_s = max(480.0, 6.0 * rf_block * n_blocks)
         tasks = [asyncio.create_task(
             _client(port, f"bench{i}", 7100.0 + i, n_blocks,
                     stats[i], timeout_s))
@@ -220,7 +239,7 @@ async def _run_mixed(C: int, block: int, n_snd: int, n_wf: int,
             await asyncio.sleep(0.5)
         log(f"  first block after {time.time()-t0:.1f}s")
         rf_block = block / params.fs_out
-        timeout_s = max(180.0, 6.0 * rf_block * n_blocks)
+        timeout_s = max(540.0, 8.0 * rf_block * n_blocks)
         snd_stats = [dict() for _ in range(n_snd)]
         wf_stats = [dict() for _ in range(n_wf)]
         tasks = [asyncio.create_task(

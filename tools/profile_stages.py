@@ -25,6 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/repo/.jax_cache")
+# jax is pre-imported at interpreter startup in this environment, so
+# the env var alone never reaches the config — set it explicitly or
+# every run pays the full (minutes-long) remote recompile
+import jax  # noqa: E402
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+try:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 import numpy as np
 
