@@ -37,9 +37,12 @@ void dp_s24_to_f32(const uint8_t *in, float *out, int64_t n,
                    float scale, int iq_swap)
 {
     for (int64_t i = 0; i < n; i++) {
-        int32_t v = (int32_t)(in[3 * i] | (in[3 * i + 1] << 8) |
-                              (in[3 * i + 2] << 16));
-        v = (v << 8) >> 8;              /* sign extend 24 -> 32 */
+        /* assemble in unsigned, then sign-extend 24 -> 32 without
+         * the UB of left-shifting a negative signed value */
+        uint32_t u = (uint32_t)in[3 * i] |
+                     ((uint32_t)in[3 * i + 1] << 8) |
+                     ((uint32_t)in[3 * i + 2] << 16);
+        int32_t v = (int32_t)(u << 8) / 256;
         out[i] = (float)v * scale;
     }
     if (iq_swap) {

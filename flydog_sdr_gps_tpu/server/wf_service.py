@@ -127,6 +127,16 @@ class WfSubsystem:
             slot.mask = None if m is None else jnp.asarray(m)
             slot.dirty = True
 
+    # Max raw samples per compiled ingest program.  The WF chain
+    # frames the input at base_decim hop (a (N/4, 32) gather) plus a
+    # framing per halfband stage; at the serving block size
+    # (2048 audio = 21.3 M ADC samples) XLA's program for the whole
+    # block wants ~57 GB of HBM and fails to compile.  Chunking the
+    # ingest host-side is EXACTLY equivalent (the streaming tails
+    # carry across chunk boundaries — that is what they are for) and
+    # keeps the per-program footprint at the proven 512-audio size.
+    WF_CHUNK = 512 * 10416
+
     # -- data plane (executor thread) ---------------------------------------
     def ingest(self, x_dev) -> None:
         """Advance every live slot with one raw ADC block."""
@@ -144,8 +154,12 @@ class WfSubsystem:
             else:
                 x = x_dev
             br, bi, dphi = slot.tune
-            slot.state = wf_model.jit_ingest(slot.params)(
-                slot.state, x, br, bi, dphi)
+            div = slot.params.total_decim
+            chunk = max((self.WF_CHUNK // div) * div, div)
+            for off in range(0, x.shape[0], chunk):
+                part = x[off:off + chunk]
+                slot.state = wf_model.jit_ingest(slot.params)(
+                    slot.state, part, br, bi, dphi)
             slot.dirty = True
 
     def frame(self, slot: WfSlot) -> np.ndarray:

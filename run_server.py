@@ -63,6 +63,16 @@ if args.mesh:
     mesh_spec = {k: int(v) for k, v in mesh_spec.items()}
 
 import os  # noqa: E402
+# persistent compile cache (jax is pre-imported in this environment,
+# so the env var alone would never reach the config)
+import jax  # noqa: E402
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(
+                      os.path.abspath(__file__)), ".jax_cache"))
+try:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 if args.cpu:
     if mesh_spec:
         n = mesh_spec.get("time", 1) * mesh_spec.get("chan", 1)

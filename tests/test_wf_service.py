@@ -123,3 +123,23 @@ def test_aperture_tracks_noise_floor_step():
     assert ss.report(now=10.0) is not None
     ss.accumulate(make_row(-95.0))
     assert ss.report(now=20.0) is None
+
+
+def test_chunked_ingest_equals_oneshot():
+    """Large serving blocks are ingested in WF_CHUNK pieces (the
+    whole-block program OOMs HBM at 2048-audio blocks); the streaming
+    tails must make chunked == one-shot exactly."""
+    z = 3
+    wf1 = WfSubsystem(ADC_CLOCK_NOM, UI_SRATE_30M, capacity=1)
+    wf2 = WfSubsystem(ADC_CLOCK_NOM, UI_SRATE_30M, capacity=1)
+    s1 = wf1.attach(z, 5000)
+    s2 = wf2.attach(z, 5000)
+    div = s1.params.total_decim
+    n = 8 * div * 64
+    x = tone_block(s1.cf + 1e4, n=n)
+    wf2.WF_CHUNK = n // 4               # force 4 chunks
+    wf1.ingest(x)
+    wf2.ingest(x)
+    r1 = wf1.frame(s1)
+    r2 = wf2.frame(s2)
+    np.testing.assert_allclose(r1, r2, atol=1e-3)
