@@ -20,10 +20,40 @@ from . import Extension, ext_register
 from .fsk import FskExt
 
 
+# waterfall palettes (the reference ships these in the colormap
+# extension's JS, `web/extensions/colormap/`; control points follow
+# the well-known public schemes — kiwi/CuteSDR default, greyscale,
+# and a linear "turbo-like" ramp); the client interpolates to 256
+_COLORMAPS = {
+    "default": [[0, 0, 0], [0, 0, 96], [0, 64, 160], [0, 160, 96],
+                [192, 192, 0], [224, 64, 0], [255, 64, 64],
+                [255, 255, 255]],
+    "grey": [[0, 0, 0], [255, 255, 255]],
+    "inverted grey": [[255, 255, 255], [0, 0, 0]],
+    "linear": [[16, 16, 64], [48, 48, 160], [0, 160, 208],
+               [64, 208, 96], [240, 224, 48], [255, 96, 32],
+               [255, 255, 255]],
+    "night": [[0, 0, 0], [32, 0, 48], [96, 0, 96], [192, 48, 64],
+              [255, 160, 64], [255, 255, 192]],
+}
+
+
 @ext_register
 class ColormapExt(Extension):
-    """Client-side only (waterfall palette editor)."""
+    """Waterfall palette chooser: serves named colormap control-point
+    tables; the client rebuilds its LUT from the selection."""
     name = "colormap"
+
+    def command(self, cmd: dict) -> list:
+        if "list" in cmd:
+            return [("colormap_list",
+                     json.dumps(sorted(_COLORMAPS)).encode())]
+        if "get" in cmd:
+            name = str(cmd.get("get", "default"))
+            table = _COLORMAPS.get(name, _COLORMAPS["default"])
+            return [("colormap", json.dumps(
+                {"name": name, "stops": table}).encode())]
+        return []
 
 
 @ext_register
@@ -85,9 +115,38 @@ class DevlExt(Extension):
 
 @ext_register
 class WaterfallScopeExt(Extension):
-    """`extensions/waterfall` — scope/controls view over the same WF
-    data the W/F stream already carries (client-rendered)."""
+    """`extensions/waterfall` — integrate/average scope over the
+    channel spectrum (the reference's WF ext adds averaging and
+    peak-hold over the same data).  Serves averaged audio-FFT rows
+    on the standard "fft" tag (the client's spectrum panel renders
+    them); ``avg=N`` sets the integration depth, ``peak=1`` switches
+    to peak-hold."""
     name = "waterfall"
+
+    def start(self, **params):
+        from .audio_fft import AudioFFTExt
+        self._fft = AudioFFTExt(self.engine, self.rx_chan)
+        self._fft.start(navg=int(params.get("avg", 8)))
+        self._peak = params.get("peak", "0") in ("1", "true")
+        self._hold = None
+
+    def process_block(self, taps) -> list:
+        import numpy as np
+        out = []
+        for tag, payload in self._fft.process_block(taps):
+            row = np.frombuffer(payload, "<f4")
+            if self._peak:
+                self._hold = (row if self._hold is None
+                              else np.maximum(self._hold, row))
+                row = self._hold
+            out.append(("fft", row.astype("<f4").tobytes()))
+        return out
+
+    def command(self, cmd: dict) -> list:
+        if "avg" in cmd or "peak" in cmd:
+            self.start(**cmd)
+            return [("waterfall", b"ok")]
+        return []
 
 
 @ext_register

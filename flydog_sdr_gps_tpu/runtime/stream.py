@@ -191,6 +191,33 @@ class StreamEngine:
         self.seq += 1
         return out
 
+    def prewarm_gather(self, bucket: int) -> None:
+        """Compile (only) the fused serve program for one bucket size
+        — safe to call concurrently with the block loop because it
+        never touches the engine state, just populates the compile
+        caches via an abstract lowering (the first real call then
+        hits the in-process or persistent cache)."""
+        if not hasattr(self, "_gstep_cache"):
+            self._gstep_cache = {}
+        params = self.params
+        if bucket not in self._gstep_cache:
+            def gstep(s, t, x, i):
+                s2, taps = rx.rx_block(params, s, t, x)
+                cols = tuple(jnp.take(a, i, axis=1) for a in (
+                    taps.audio, taps.audio2, taps.iq_post_agc.re,
+                    taps.iq_post_agc.im))
+                return s2, cols + (taps.smeter_dbm,
+                                   jnp.max(jnp.abs(x)))
+            self._gstep_cache[bucket] = jax.jit(gstep)
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            (self.state, self.tuning))
+        x_s = jax.ShapeDtypeStruct((params.ddc.adc_block,),
+                                   jnp.float32)
+        i_s = jax.ShapeDtypeStruct((bucket,), jnp.int32)
+        self._gstep_cache[bucket].lower(
+            abstract[0], abstract[1], x_s, i_s).compile()
+
     def reset_streaming_state(self) -> None:
         """Full streaming-state reset (data-pump reset analogue)."""
         self.state = rx.init_state(self.params)

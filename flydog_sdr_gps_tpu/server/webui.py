@@ -380,6 +380,28 @@ function extDispatch(etag, pl) {
       if (i === 0) g.moveTo(x, y); else g.lineTo(x, y);
     }
     g.stroke();
+  } else if (etag === "colormap_list") {
+    panelShow("spots");
+    const tb = document.getElementById("spots");
+    tb.textContent = "";
+    JSON.parse(new TextDecoder().decode(pl)).forEach((name) => {
+      const r = tb.insertRow();
+      const b = document.createElement("button");
+      b.textContent = name;
+      b.onclick = () => setMsg(snd_ws, "get=" + name);
+      r.insertCell().appendChild(b);
+    });
+  } else if (etag === "colormap") {
+    // rebuild the waterfall LUT from server-supplied control stops
+    const doc = JSON.parse(new TextDecoder().decode(pl));
+    const st = doc.stops;
+    for (let i = 0; i < 256; i++) {
+      const p = i / 255 * (st.length - 1),
+            k = Math.min(Math.floor(p), st.length - 2), f = p - k;
+      for (let c = 0; c < 3; c++)
+        LUT[3*i+c] = st[k][c] * (1-f) + st[k+1][c] * f;
+    }
+    extText("colormap: " + doc.name);
   } else if (etag.endsWith("_decode") || etag === "ale_word" ||
              etag === "hfdl_mpdu") {      // spot-table rows
     const s = new TextDecoder("utf-8", {fatal:false}).decode(pl);

@@ -46,7 +46,15 @@ def _mode_of(station: str, remarks: str) -> str:
 def parse_csv(path: str, max_rows: int | None = None) -> list[DxLabel]:
     """Parse an EiBi kiwi-format CSV into labels (header skipped)."""
     out = []
-    with open(path, encoding="latin-1") as f:
+    # current files are UTF-8; older seasons were latin-1
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        text = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        text = raw.decode("latin-1")
+    import io
+    with io.StringIO(text) as f:
         for ln in f:
             parts = ln.rstrip("\n").split(";")
             if len(parts) < 5:

@@ -183,9 +183,30 @@ if not server.dx.labels:
     server.dx.upsert(DxLabel(10000.0, "am", "carrier", "synthetic"))
 
 
+async def prewarm():
+    """Compile the fused serve programs for small subscriber buckets
+    in the background so the FIRST listener doesn't wait minutes on
+    the remote compile helper (the persistent compile cache makes
+    later boots fast)."""
+    warm = getattr(eng, "prewarm_gather", None)
+    if warm is None or getattr(eng, "run_block_gather", None) is None:
+        return
+    loop = asyncio.get_running_loop()
+    for bucket in (1, 2, 4, 8):
+        if bucket > nchan:
+            break
+        try:
+            await loop.run_in_executor(None, warm, bucket)
+        except Exception as e:          # noqa: BLE001 — best effort
+            print(f"prewarm bucket {bucket}: {e}", flush=True)
+            return
+        print(f"prewarmed bucket {bucket}", flush=True)
+
+
 async def main():
     await server.start()
     print(f"ready on http://127.0.0.1:{args.port}/", flush=True)
+    asyncio.create_task(prewarm())
     # offline restart: admin "SET restart" re-execs this process
     # (reference: `ui/admin.cpp` restart op → kiwi_restart())
     await server.wait_restart()

@@ -63,8 +63,13 @@ def test_autorun_claims_decodes_and_yields():
             assert server.engine.ctl[ch].mode == demod.MODE_USB
 
             # --- taps flow into the decoder front-end ---
+            # (poll: the fused step+gather program compiles on the
+            # first subscribed block, several seconds on CPU)
             s0 = wspr_unit.ext._samples
-            await asyncio.sleep(1.0)
+            for _ in range(300):
+                if wspr_unit.ext._samples > s0:
+                    break
+                await asyncio.sleep(0.1)
             assert wspr_unit.ext._samples > s0
 
             # --- decode messages become logged spots (upload gated) ---

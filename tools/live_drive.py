@@ -35,8 +35,18 @@ async def main():
         await ws.send_str("SET mod=usb low_cut=300 high_cut=2700 "
                           "freq=14200.200")
         pcm = []
+        import time as _time
+        last_ka = _time.time()
         while len(pcm) < 24:
-            m = await asyncio.wait_for(ws.receive(), timeout=60)
+            if _time.time() - last_ka > 5.0:
+                # the real client's keepalive timer — without it the
+                # policy loop kicks us during a first-boot compile
+                await ws.send_str("SET keepalive")
+                last_ka = _time.time()
+            try:
+                m = await asyncio.wait_for(ws.receive(), timeout=5)
+            except asyncio.TimeoutError:
+                continue
             if m.type == aiohttp.WSMsgType.BINARY and \
                m.data[:3] == b"SND":
                 pcm.append(np.frombuffer(m.data[10:], ">i2"))
