@@ -63,16 +63,20 @@ if args.mesh:
     mesh_spec = {k: int(v) for k, v in mesh_spec.items()}
 
 import os  # noqa: E402
-# persistent compile cache (jax is pre-imported in this environment,
-# so the env var alone would never reach the config)
 import jax  # noqa: E402
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(
-                      os.path.abspath(__file__)), ".jax_cache"))
-try:
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:
-    pass
+if not args.cpu:
+    # persistent compile cache, TPU only (jax is pre-imported in this
+    # environment, so the env var alone would never reach the config;
+    # on CPU the cached AOT artifacts are machine-feature-pinned and
+    # reload with SIGILL warnings, so skip it there)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 if args.cpu:
     if mesh_spec:
         n = mesh_spec.get("time", 1) * mesh_spec.get("chan", 1)
@@ -205,11 +209,20 @@ async def prewarm():
 
 async def main():
     await server.start()
+    # background services: SNR self-measurement + (egress-gated)
+    # registry/DDNS/update tasks (`net/services.cpp` services_start)
+    from flydog_sdr_gps_tpu.server.services import default_services
+    sched = default_services(server, cfg=cfg,
+                             egress_allowed=bool(
+                                 cfg and cfg.bool("egress", False)))
+    sched.start()
+    server.services = sched
     print(f"ready on http://127.0.0.1:{args.port}/", flush=True)
     asyncio.create_task(prewarm())
     # offline restart: admin "SET restart" re-execs this process
     # (reference: `ui/admin.cpp` restart op → kiwi_restart())
     await server.wait_restart()
+    await sched.stop()
     await server.stop()
 
 asyncio.run(main())
