@@ -1174,6 +1174,40 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                             await c.send_msg(w, request_dx_update=1)
                         except Exception:
                             pass
+            elif cmd == "backup":
+                # config backup (`ui/admin.cpp` backup tab analogue:
+                # the reference images the SD card; here the state
+                # that matters is JSON — config + DX labels + prefs)
+                bundle = dict(
+                    cfg=(self.cfg.doc if self.cfg else {}),
+                    dx=[lab.to_json() for lab in self.dx.labels],
+                    prefs=self.prefs,
+                    version=__version__)
+                await ws.send_bytes(b"BAK " + json.dumps(
+                    bundle, separators=(",", ":")).encode())
+            elif cmd == "restore":
+                from urllib.parse import unquote
+                try:
+                    bundle = json.loads(unquote(str(p.get("data",
+                                                          ""))))
+                except ValueError:
+                    await ws.send_bytes(packets.msg(restored=0))
+                    continue
+                if self.cfg is not None and isinstance(
+                        bundle.get("cfg"), dict):
+                    for k, v in bundle["cfg"].items():
+                        self.cfg.set(k, v)
+                    self.cfg.save()
+                if isinstance(bundle.get("dx"), list):
+                    self.dx.labels = sorted(
+                        (dx_mod.DxLabel.from_json(r)
+                         for r in bundle["dx"]),
+                        key=lambda l: l.freq_khz)
+                    self.dx.seq += 1
+                    self.dx.save()
+                if isinstance(bundle.get("prefs"), dict):
+                    self.prefs.update(bundle["prefs"])
+                await ws.send_bytes(packets.msg(restored=1))
             elif cmd in ("update_status", "update_check",
                          "update_build"):
                 # update tab (`net/update.cpp` report_result +

@@ -718,7 +718,12 @@ ADMIN_PAGE = r"""<!doctype html>
  <section id="update"><pre id="updbox"></pre>
   <button id="updstat">status</button>
   <button id="updcheck">check now</button>
-  <button id="updbuild">build now</button></section>
+  <button id="updbuild">build now</button>
+  <hr><b>backup / restore</b><br>
+  <button id="bakget">download backup</button>
+  <input type="file" id="bakfile" accept=".json">
+  <button id="bakput">restore from file</button>
+  <span id="bakmsg"></span></section>
  <section id="setup">
   <table id="forms" style="border-spacing:6px">
    <tr><td>server name</td><td><input id="f_name" size="28"></td></tr>
@@ -781,6 +786,9 @@ document.getElementById("go").onclick = () => {
             "saved" in kv ? "saved" : "seq " + kv.cfg_seq;
         send("get_config");
       }
+      if ("restored" in kv)
+        document.getElementById("bakmsg").textContent =
+            kv.restored === "1" ? "restored" : "restore failed";
     } else if (s.startsWith("CFG ")) {
       const doc = JSON.parse(s.slice(4));
       document.getElementById("cfg").value =
@@ -795,6 +803,13 @@ document.getElementById("go").onclick = () => {
     } else if (s.startsWith("GPS ")) {
       document.getElementById("gpsbox").textContent =
           JSON.stringify(JSON.parse(s.slice(4)), null, 1);
+    } else if (s.startsWith("BAK ")) {
+      const blob = new Blob([s.slice(4)], {type: "application/json"});
+      const a = document.createElement("a");
+      a.href = URL.createObjectURL(blob);
+      a.download = "kiwi_tpu_backup.json";
+      a.click();
+      document.getElementById("bakmsg").textContent = "downloaded";
     } else if (s.startsWith("UPD ")) {
       const u = JSON.parse(s.slice(4));
       document.getElementById("updbox").textContent =
@@ -869,6 +884,12 @@ document.getElementById("gpsref").onclick = () => send("gps");
 document.getElementById("updstat").onclick = () => send("update_status");
 document.getElementById("updcheck").onclick = () => send("update_check");
 document.getElementById("updbuild").onclick = () => send("update_build");
+document.getElementById("bakget").onclick = () => send("backup");
+document.getElementById("bakput").onclick = () => {
+  const f = document.getElementById("bakfile").files[0];
+  if (!f) return;
+  f.text().then((t) => send("restore data=" + encodeURIComponent(t)));
+};
 // ---- setup forms: structured fields writing cfg keys ----
 const FORM_KEYS = [
   ["f_name", "server_name"], ["f_loc", "location"],

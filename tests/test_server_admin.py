@@ -302,3 +302,50 @@ async def admin_tabs_scenario():
 
 def test_admin_tabs():
     asyncio.run(asyncio.wait_for(admin_tabs_scenario(), timeout=120))
+
+
+async def backup_restore_scenario():
+    """Admin backup/restore: config + DX labels + prefs round-trip
+    (the reference's backup tab, `ui/admin.cpp`)."""
+    from urllib.parse import quote
+    params = rx.RxParams(num_channels=2, audio_block=128)
+    src = SyntheticSource(tones=((14.201e6, 0.5),), noise_rms=0.001)
+    server = KiwiServer(StreamEngine(params, src), cfg=Config(),
+                        port=PORT + 7, realtime=False)
+    runner = await server.start()
+    try:
+        async with aiohttp.ClientSession() as s:
+            ws = await s.ws_connect(
+                f"http://127.0.0.1:{PORT + 7}/1/ADMIN")
+            await ws.send_str("SET auth t=admin p=")
+            assert b"badp=0" in (await ws.receive()).data
+            # seed state, take a backup
+            await ws.send_str("SET set_config key=rx_name value=backme")
+            await ws.receive()
+            await ws.send_str("SET dx_upd g=-1 f=5000.5 m=cw i=BKUP")
+            await ws.receive()
+            await ws.send_str("SET backup")
+            m = await ws.receive()
+            assert m.data.startswith(b"BAK ")
+            bundle = json.loads(m.data[4:])
+            assert bundle["cfg"]["rx_name"] == "backme"
+            assert any(r[2] == "BKUP" for r in bundle["dx"])
+
+            # wipe, then restore
+            await ws.send_str("SET set_config key=rx_name value=wiped")
+            await ws.receive()
+            server.dx.labels = []
+            await ws.send_str("SET restore data=" + quote(
+                json.dumps(bundle)))
+            m = await ws.receive()
+            assert b"restored=1" in m.data
+            assert server.cfg.string("rx_name") == "backme"
+            assert any(l.ident == "BKUP" for l in server.dx.labels)
+    finally:
+        await server.stop()
+        await runner.cleanup()
+
+
+def test_backup_restore():
+    asyncio.run(asyncio.wait_for(backup_restore_scenario(),
+                                 timeout=120))
