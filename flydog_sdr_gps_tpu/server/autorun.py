@@ -14,7 +14,9 @@ connection shares — an idle channel costs nothing extra on the device
 decoder front-ends are their own jitted programs over the tap arrays.
 
 Spot upload is EGRESS-GATED (this environment has no network egress):
-the upload hook logs and stores; a deployment wires `upload` to a real
+the upload hook logs and stores; a deployment passes
+`extensions.spot_upload.SpotUploader` (real wsprnet query +
+PSKReporter IPFIX datagrams, structurally tested offline) as a real
 wsprnet/PSKReporter client.
 """
 
