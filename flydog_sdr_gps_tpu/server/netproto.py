@@ -253,3 +253,64 @@ async def ddns_update(fetch, base: str, hostname: str, ip: str,
                                headers=headers)
     word = body.decode("utf-8", "replace").split()
     return word[0] if word else f"http_{status}"
+
+
+# ---------------------------------------------------------------------------
+# auto-NAT orchestration (`net/services.cpp:488-545` UPnP_port_open
+# via upnpc; here the full flow speaks the protocols directly)
+# ---------------------------------------------------------------------------
+
+async def upnp_open_port(fetch, udp_roundtrip, external_port: int,
+                         internal_ip: str, internal_port: int,
+                         proto: str = "TCP") -> dict:
+    """Full UPnP IGD flow: SSDP M-SEARCH -> device description ->
+    WANIPConnection controlURL -> AddPortMapping SOAP.
+
+    ``udp_roundtrip(payload, addr) -> bytes | None`` performs the
+    multicast discovery exchange; ``fetch`` the HTTP legs.  Both are
+    injected so production gates egress at the socket and tests run
+    against in-process mocks.
+    """
+    resp = await udp_roundtrip(ssdp_msearch_request(), SSDP_ADDR)
+    if not resp:
+        return dict(ok=False, error="no IGD responded to SSDP")
+    try:
+        hdrs = ssdp_parse_response(resp)
+    except ValueError as e:
+        return dict(ok=False, error=f"bad SSDP response: {e}")
+    location = hdrs.get("LOCATION")
+    if not location:
+        return dict(ok=False, error="SSDP response without LOCATION")
+    status, body = await fetch(location)
+    if status != 200:
+        return dict(ok=False, error=f"desc fetch {status}")
+    ctl = upnp_control_url(body.decode("utf-8", "replace"), location)
+    if ctl is None:
+        return dict(ok=False, error="no WANIPConnection service")
+    headers, soap = upnp_add_port_mapping_soap(
+        external_port, internal_port, internal_ip, proto)
+    status, body = await fetch(ctl, data=soap, headers=headers)
+    out = upnp_parse_soap_response(status, body)
+    out["control_url"] = ctl
+    return out
+
+
+async def auto_nat_open(fetch, udp_roundtrip, gateway_ip: str,
+                        external_port: int, internal_ip: str,
+                        internal_port: int) -> dict:
+    """The reference's auto-NAT behavior: try NAT-PMP against the
+    gateway first (cheap, binary), fall back to the UPnP IGD flow."""
+    resp = await udp_roundtrip(
+        natpmp_map_request(internal_port, external_port),
+        (gateway_ip, NATPMP_PORT))
+    if resp:
+        try:
+            parsed = natpmp_parse_response(resp)
+            if parsed["result"] == 0:
+                return dict(ok=True, via="natpmp", **parsed)
+        except ValueError:
+            pass
+    out = await upnp_open_port(fetch, udp_roundtrip, external_port,
+                               internal_ip, internal_port)
+    out["via"] = "upnp"
+    return out

@@ -263,3 +263,76 @@ def test_update_window():
     three_am = _t.mktime((2026, 8, 21, 3, 0, 0, 0, 0, -1))
     noon = _t.mktime((2026, 8, 21, 12, 0, 0, 0, 0, -1))
     assert upd.in_window(three_am) and not upd.in_window(noon)
+
+
+def test_auto_nat_natpmp_then_upnp_fallback():
+    """Full auto-NAT flow against in-process mocks: a NAT-PMP-capable
+    gateway answers directly; a NAT-PMP-deaf gateway falls back to
+    the complete UPnP chain (SSDP -> description -> SOAP)."""
+    aiohttp = pytest.importorskip("aiohttp")
+    from aiohttp import web
+
+    async def scenario():
+        # --- mock IGD HTTP side ---
+        app = web.Application()
+
+        async def root_desc(request):
+            return web.Response(text="""<root><device><serviceList>
+<service><serviceType>urn:schemas-upnp-org:service:WANIPConnection:1\
+</serviceType><controlURL>/ctl</controlURL></service>
+</serviceList></device></root>""")
+
+        soap_hits = []
+
+        async def ctl(request):
+            body = await request.read()
+            soap_hits.append(body)
+            assert b"<NewExternalPort>8073</NewExternalPort>" in body
+            return web.Response(text="<ok/>")
+
+        app.router.add_get("/rootDesc.xml", root_desc)
+        app.router.add_post("/ctl", ctl)
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", 18913)
+        await site.start()
+
+        async def fetch(url, data=None, headers=None):
+            async with aiohttp.ClientSession() as s:
+                meth = s.post if data is not None else s.get
+                kw = dict(headers=headers or {})
+                if data is not None:
+                    kw["data"] = data
+                async with meth(url, **kw) as r:
+                    return r.status, await r.read()
+
+        # gateway A: speaks NAT-PMP
+        async def udp_a(payload, addr):
+            if addr[1] == npx.NATPMP_PORT:
+                _, op, _, priv, pub, life = struct.unpack("!BBHHHI",
+                                                          payload)
+                return struct.pack("!BBHIHHI", 0, 128 + op, 0, 99,
+                                   priv, pub, life)
+            return None
+
+        out = await npx.auto_nat_open(fetch, udp_a, "192.168.1.1",
+                                      8073, "192.168.1.77", 8073)
+        assert out["ok"] and out["via"] == "natpmp"
+        assert out["public_port"] == 8073
+
+        # gateway B: no NAT-PMP; answers SSDP with the mock IGD
+        async def udp_b(payload, addr):
+            if addr[1] == npx.NATPMP_PORT:
+                return None
+            assert payload.startswith(b"M-SEARCH")
+            return (b"HTTP/1.1 200 OK\r\nST: upnp:rootdevice\r\n"
+                    b"LOCATION: http://127.0.0.1:18913/rootDesc.xml"
+                    b"\r\n\r\n")
+
+        out = await npx.auto_nat_open(fetch, udp_b, "192.168.1.1",
+                                      8073, "192.168.1.77", 8073)
+        assert out["ok"] and out["via"] == "upnp"
+        assert soap_hits, "SOAP AddPortMapping never reached the IGD"
+        await runner.cleanup()
+
+    asyncio.run(asyncio.wait_for(scenario(), timeout=60))

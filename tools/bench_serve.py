@@ -22,6 +22,12 @@ JSON detail.
 
 Env knobs: BENCH_SERVE_C (channels, default = BENCH_C or 4096),
 BENCH_SERVE_CLIENTS (default 32), BENCH_SERVE_BLOCKS (default 40).
+
+Note on ``autorun_spots``: the bench scene is unmodulated carriers,
+so the FT8/WSPR autorun decoders have nothing to decode — 0 spots is
+expected here; decode correctness is proven by the oracle/off-air
+tests (tests/test_ft8_oracle.py, tests/test_wspr_offair.py) and the
+autorun plumbing by tests/test_autorun.py.
 """
 
 from __future__ import annotations
