@@ -205,8 +205,13 @@ class DrmTx:
         self.msc_qam = msc_qam
 
     def superframe(self, sdc_payload: bytes,
-                   msc_payload: bytes) -> np.ndarray:
-        """One 3-frame superframe of passband audio (no silence pad)."""
+                   msc_payload) -> np.ndarray:
+        """One 3-frame superframe of passband audio (no silence pad).
+
+        ``msc_payload``: bytes (data service, length+CRC-16 framed)
+        OR a list of 3 lists of AAC access units — then each
+        transmission frame carries an ETSI 5.3.1 AUDIO SUPER FRAME
+        (:mod:`drm_audio`)."""
         sdc_cells = SDC_MLC.encode(self._fit(
             self._framed_bytes(sdc_payload), SDC_MLC.total_bits))
         msc_mlc = MSC_MLC_16 if self.msc_qam == 16 else MSC_MLC_64
@@ -218,9 +223,17 @@ class DrmTx:
                          msc_qam=self.msc_qam, frame_idx=f)[:72])
             # MSC is coded per transmission frame (MLC.cpp iN_mux =
             # useful MSC cells per frame); same framed payload each
-            msc_cells = msc_mlc[f].encode(self._fit(
-                self._framed_bytes(msc_payload),
-                msc_mlc[f].total_bits))
+            if isinstance(msc_payload, (list, tuple)):
+                from . import drm_audio
+                cap = msc_mlc[f].total_bits // 8
+                sf = drm_audio.build_super_frame(
+                    list(msc_payload[f]), cap)
+                bits = np.unpackbits(np.frombuffer(sf, np.uint8))
+                msc_bits = self._fit(bits, msc_mlc[f].total_bits)
+            else:
+                msc_bits = self._fit(self._framed_bytes(msc_payload),
+                                     msc_mlc[f].total_bits)
+            msc_cells = msc_mlc[f].encode(msc_bits)
             fi, mi = 0, 0
             for sym in range(SYMS_PER_FRAME):
                 ssym = f * SYMS_PER_FRAME + sym
@@ -269,12 +282,17 @@ class DrmTx:
 
 class DrmRx:
     """Streaming DRM receiver: 12 kHz real audio in; FAC dicts and
-    SDC/MSC payloads out."""
+    SDC/MSC payloads out.
 
-    def __init__(self):
+    ``msc_audio=True`` parses each frame's MSC as an ETSI 5.3.1
+    audio super frame and emits validated AAC access units on
+    ``drm_audio_frame`` instead of the byte-stream framing."""
+
+    def __init__(self, msc_audio: bool = False):
         self._audio = np.zeros(0, np.complex64)
         self._n0 = 0
         self.fac: dict | None = None
+        self.msc_audio = msc_audio
         self._synced_at: int | None = None
 
     def feed(self, iq: np.ndarray) -> list[tuple[str, object]]:
@@ -403,8 +421,18 @@ class DrmRx:
                    else MSC_MLC_64)
         seen = set()
         for f in range(FRAMES_PER_SUPER):
-            msc = self._frame_payload(
-                msc_mlc[f].decode(np.asarray(msc_by_frame[f])))
+            bits = msc_mlc[f].decode(np.asarray(msc_by_frame[f]))
+            if self.msc_audio:
+                from . import drm_audio
+                data = np.packbits(
+                    bits[:len(bits) - len(bits) % 8]).tobytes()
+                frames = drm_audio.parse_super_frame(data)
+                if frames is not None:
+                    for au, ok in frames:
+                        if ok and au:
+                            out.append(("drm_audio_frame", au))
+                continue
+            msc = self._frame_payload(bits)
             if msc is not None and msc not in seen:
                 seen.add(msc)
                 out.append(("drm_msc", msc))
