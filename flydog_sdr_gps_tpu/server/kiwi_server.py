@@ -1396,7 +1396,23 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
     async def _process_fetched(self, loop, fetch, subs) -> None:
         """Fetch one dispatched block's host copies and fan out."""
         import jax
-        got = await loop.run_in_executor(None, jax.device_get, fetch)
+        t0 = time.monotonic()
+        fut = loop.run_in_executor(None, jax.device_get, fetch)
+        # watchdog: a wedged device runtime can hang a fetch
+        # indefinitely (observed on the tunneled backend); the hang
+        # cannot be safely interrupted, but operators need to see it
+        # instead of a silently frozen server
+        warn_after = max(
+            10.0 * self.engine.params.ddc.adc_block
+            / self.engine.params.adc_clock, 10.0)
+        while True:
+            try:
+                got = await asyncio.wait_for(
+                    asyncio.shield(fut), timeout=warn_after)
+                break
+            except asyncio.TimeoutError:
+                lprintf("WARNING: device fetch stalled for %.0f s "
+                        "(runtime wedged?)", time.monotonic() - t0)
         smeter = got[-2]
         # ADC overflow: input at/over full scale (the reference
         # latches the FPGA ADC_OVFL line into the SND header and
