@@ -193,8 +193,12 @@ class SpotUploader:
             self.sent += 1
         elif ext in ("FT8", "FT4") and self.udp_send is not None:
             # decode text: "[CQ] <call> <grid...> <audio_freq>"
-            call = toks[1] if toks and toks[0] in ("CQ", "QRZ", "DE") \
-                else (toks[0] if toks else "")
+            if toks and toks[0] in ("CQ", "QRZ", "DE"):
+                call = toks[1] if len(toks) > 1 else ""
+            else:
+                call = toks[0] if toks else ""
+            if not call:
+                return
             grid = next((t for t in toks[1:] if len(t) == 4
                          and t[:2].isalpha() and t[2:].isdigit()), "")
             try:

@@ -168,35 +168,22 @@ class StreamEngine:
         smeter_dbm, peak)`` device handles; one jit per bucket size.
         """
         params = self.params
-        if not hasattr(self, "_gstep_cache"):
-            self._gstep_cache = {}
-        key = len(idx)
-        if key not in self._gstep_cache:
-            def gstep(s, t, x, i):
-                s2, taps = rx.rx_block(params, s, t, x)
-                cols = tuple(jnp.take(a, i, axis=1) for a in (
-                    taps.audio, taps.audio2, taps.iq_post_agc.re,
-                    taps.iq_post_agc.im))
-                return s2, cols + (taps.smeter_dbm,
-                                   jnp.max(jnp.abs(x)))
-            self._gstep_cache[key] = jax.jit(gstep)
+        gstep = self._gstep_for(len(idx))
         ticks = getattr(self.source, "ticks", 0)
         x = self.source.next_block(params.ddc.adc_block)
         if isinstance(x, np.ndarray):
             x = jnp.asarray(x)
         self._last_x = x
-        self.state, out = self._gstep_cache[key](
-            self.state, self.tuning, x, jnp.asarray(idx))
+        self.state, out = gstep(self.state, self.tuning, x,
+                                jnp.asarray(idx))
         self.block_ticks = ticks
         self.seq += 1
         return out
 
-    def prewarm_gather(self, bucket: int) -> None:
-        """Compile (only) the fused serve program for one bucket size
-        — safe to call concurrently with the block loop because it
-        never touches the engine state, just populates the compile
-        caches via an abstract lowering (the first real call then
-        hits the in-process or persistent cache)."""
+    def _gstep_for(self, bucket: int):
+        """The ONE definition of the fused serve program per bucket
+        size (run_block_gather and prewarm_gather must share it, or
+        the prewarm compiles a program the serve path never uses)."""
         if not hasattr(self, "_gstep_cache"):
             self._gstep_cache = {}
         params = self.params
@@ -209,14 +196,22 @@ class StreamEngine:
                 return s2, cols + (taps.smeter_dbm,
                                    jnp.max(jnp.abs(x)))
             self._gstep_cache[bucket] = jax.jit(gstep)
+        return self._gstep_cache[bucket]
+
+    def prewarm_gather(self, bucket: int) -> None:
+        """Compile (only) the fused serve program for one bucket size
+        — safe to call concurrently with the block loop because it
+        never touches the engine state, just populates the compile
+        caches via an abstract lowering (the first real call then
+        hits the in-process or persistent cache)."""
+        gstep = self._gstep_for(bucket)
         abstract = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
             (self.state, self.tuning))
-        x_s = jax.ShapeDtypeStruct((params.ddc.adc_block,),
+        x_s = jax.ShapeDtypeStruct((self.params.ddc.adc_block,),
                                    jnp.float32)
         i_s = jax.ShapeDtypeStruct((bucket,), jnp.int32)
-        self._gstep_cache[bucket].lower(
-            abstract[0], abstract[1], x_s, i_s).compile()
+        gstep.lower(abstract[0], abstract[1], x_s, i_s).compile()
 
     def reset_streaming_state(self) -> None:
         """Full streaming-state reset (data-pump reset analogue)."""

@@ -188,7 +188,12 @@ class AutorunManager:
                 lprintf("autorun spot: %s %.4f kHz: %s", unit.ext_name,
                         unit.freq_khz, spot["text"])
                 if self.upload is not None:
-                    self.upload(spot)
+                    try:
+                        self.upload(spot)
+                    except Exception as e:  # noqa: BLE001 — an
+                        # upload bug must not take down the serving
+                        # block loop
+                        lprintf("spot upload failed: %s", e)
                 else:
                     # wsprnet/PSKReporter upload requires egress;
                     # gated off in this environment (like services.py)

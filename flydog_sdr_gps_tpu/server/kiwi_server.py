@@ -147,7 +147,13 @@ class Connection:
 
     def queue_bytes(self, ws, data: bytes) -> None:
         """Enqueue one wire packet for this connection's sender task
-        (never blocks the caller; drops oldest when the client stalls)."""
+        (never blocks the caller; drops when the client stalls).
+
+        Drop policy: oldest STREAM packet first (SND/W/F rows are
+        perishable — the reference's nbuf backlog behaves the same);
+        protocol MSG/EXT frames are only dropped when the whole
+        backlog is control traffic, so a stalled-then-recovered
+        client never misses the reply it is waiting on."""
         if ws is None or ws.closed:
             return
         if self.sendq is None:
@@ -157,11 +163,14 @@ class Connection:
         try:
             self.sendq.put_nowait((ws, data))
         except asyncio.QueueFull:
+            q = self.sendq._queue               # deque; loop thread only
+            victim = next((i for i, (_, d) in enumerate(q)
+                           if d[:3] in (b"SND", b"W/F")), 0)
+            del q[victim]
+            self.send_drops += 1
             try:
-                self.sendq.get_nowait()         # drop oldest
-                self.send_drops += 1
                 self.sendq.put_nowait((ws, data))
-            except (asyncio.QueueEmpty, asyncio.QueueFull):
+            except asyncio.QueueFull:           # pragma: no cover
                 self.send_drops += 1
 
     async def _sender_loop(self) -> None:
@@ -171,8 +180,14 @@ class Connection:
                 continue
             try:
                 await ws.send_bytes(data)
-            except (ConnectionResetError, RuntimeError):
-                pass
+            except asyncio.CancelledError:
+                raise
+            except Exception as e:  # noqa: BLE001 — a send failure
+                # must not kill the drain task (the queue would then
+                # fill and drop every packet silently)
+                if not isinstance(e, (ConnectionError, RuntimeError)):
+                    lprintf("sender error (%s): %s",
+                            type(e).__name__, e)
 
     def close_sender(self) -> None:
         if self._sender_task is not None:
@@ -1193,16 +1208,24 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 except ValueError:
                     await ws.send_bytes(packets.msg(restored=0))
                     continue
+                # validate the DX rows BEFORE touching any state so a
+                # malformed bundle cannot half-apply
+                try:
+                    labels = ([dx_mod.DxLabel.from_json(r)
+                               for r in bundle["dx"]]
+                              if isinstance(bundle.get("dx"), list)
+                              else None)
+                except (IndexError, ValueError, TypeError, KeyError):
+                    await ws.send_bytes(packets.msg(restored=0))
+                    continue
                 if self.cfg is not None and isinstance(
                         bundle.get("cfg"), dict):
                     for k, v in bundle["cfg"].items():
                         self.cfg.set(k, v)
                     self.cfg.save()
-                if isinstance(bundle.get("dx"), list):
+                if labels is not None:
                     self.dx.labels = sorted(
-                        (dx_mod.DxLabel.from_json(r)
-                         for r in bundle["dx"]),
-                        key=lambda l: l.freq_khz)
+                        labels, key=lambda l: l.freq_khz)
                     self.dx.seq += 1
                     self.dx.save()
                 if isinstance(bundle.get("prefs"), dict):

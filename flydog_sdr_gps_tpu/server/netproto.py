@@ -182,12 +182,18 @@ def parse_ip_api(body: bytes, ip_key: str, lat_key: str | None,
     if not _IP_RE.match(str(ip)):
         return None
     out = dict(ip=str(ip))
-    if lat_key and lat_key in doc and lon_key in doc:
-        out["lat"] = float(doc[lat_key])
-        out["lon"] = float(doc[lon_key])
-    elif "loc" in doc and "," in str(doc["loc"]):   # ipinfo.io style
-        la, lo = str(doc["loc"]).split(",", 1)
-        out["lat"], out["lon"] = float(la), float(lo)
+    # lat/lon are best-effort: real APIs return null for
+    # unlocatable IPs — a bad value must not reject the IP answer
+    try:
+        if lat_key and lat_key in doc and lon_key in doc:
+            out["lat"] = float(doc[lat_key])
+            out["lon"] = float(doc[lon_key])
+        elif "loc" in doc and "," in str(doc["loc"]):  # ipinfo.io
+            la, lo = str(doc["loc"]).split(",", 1)
+            out["lat"], out["lon"] = float(la), float(lo)
+    except (TypeError, ValueError):
+        out.pop("lat", None)
+        out.pop("lon", None)
     return out
 
 

@@ -162,8 +162,11 @@ def default_services(server, cfg=None,
                                               False)))
     server.update_mgr = upd
 
-    def update_task():
-        st = upd.check()
+    async def update_task():
+        # upd.check runs subprocesses (pings, git, possibly a full
+        # build) — keep it off the event loop or every stream stalls
+        st = await asyncio.get_running_loop().run_in_executor(
+            None, upd.check)
         if upd.restart_requested:
             server.restart_requested = True
             server._restart_event.set()

@@ -276,10 +276,12 @@ function playPcm(pcm) {
 // SSTV/FAX, spot tables for WSPR/FT8/FT4, IQ scatter, S-meter
 // graph, audio-FFT display)
 let imgLine = 0, smHist = [];
+const PANEL_IDS = { img: "extimg", scope: "extscope",
+                    spots: "spots" };
 function panelShow(which) {        // which: img|scope|spots|null
-  ["extimg", "extscope", "spots"].forEach((id) => {
+  Object.entries(PANEL_IDS).forEach(([k, id]) => {
     document.getElementById(id).style.display =
-        (which && id.startsWith(which)) ? "block" : "none";
+        (k === which) ? "block" : "none";
   });
 }
 function extText(s) {

@@ -63,20 +63,11 @@ if args.mesh:
     mesh_spec = {k: int(v) for k, v in mesh_spec.items()}
 
 import os  # noqa: E402
-import jax  # noqa: E402
 if not args.cpu:
-    # persistent compile cache, TPU only (jax is pre-imported in this
-    # environment, so the env var alone would never reach the config;
-    # on CPU the cached AOT artifacts are machine-feature-pinned and
-    # reload with SIGILL warnings, so skip it there)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(
-                          os.path.abspath(__file__)), ".jax_cache"))
-    try:
-        jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # persistent compile cache, TPU only (see utils/jax_cache.py)
+    from flydog_sdr_gps_tpu.utils.jax_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
 if args.cpu:
     if mesh_spec:
         n = mesh_spec.get("time", 1) * mesh_spec.get("chan", 1)

@@ -39,17 +39,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/root/repo/.jax_cache")
-# jax is pre-imported at interpreter startup in this environment, so
-# the env var alone never reaches the config — set it explicitly or
-# every run pays the full (minutes-long) remote recompile
-import jax  # noqa: E402
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-try:
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:
-    pass
+from flydog_sdr_gps_tpu.utils.jax_cache import \
+    enable_persistent_cache  # noqa: E402
+enable_persistent_cache()
 
 import numpy as np
 
