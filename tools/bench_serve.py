@@ -262,7 +262,11 @@ async def _run_mixed(C: int, block: int, n_snd: int, n_wf: int,
     sky = gps_scene.GpsScene(rx_pos, ephs, t0_gps, duration=3600.0,
                              clock_ppm=0.4, noise=0.9, amplitude=0.5)
     mgr = gps_manager.GpsManager(prns=tuple(ephs))
-    gps = GpsReceiver(sky, mgr, engine=eng, search_interval=10.0)
+    # warm-receiver case: ephemerides assisted, so position fixes
+    # appear within the bench window (live ephemeris decode needs
+    # ~30 s of nav bits and is proven by tests/test_gps_e2e.py)
+    gps = GpsReceiver(sky, mgr, engine=eng, search_interval=10.0,
+                      assist_ephemerides=ephs)
     port = int(os.environ.get("BENCH_SERVE_PORT", "18975"))
     server = KiwiServer(eng, port=port, realtime=False,
                         wf_enabled=True, wf_chans=4, gps=gps,
