@@ -98,3 +98,38 @@ def test_device_scene_am_matches_host_scene():
         b = np.asarray(dev.next_block(n))
         assert np.allclose(a, b, atol=2e-3), np.abs(a - b).max()
     assert dev.ticks == host.ticks == 3 * n
+
+
+def test_sendq_drops_stream_packets_before_msgs():
+    """The bounded send queue must sacrifice perishable SND/W-F
+    packets before protocol MSG replies (a stalled-then-recovered
+    client would otherwise miss the reply it is waiting on)."""
+    import asyncio as aio
+    from flydog_sdr_gps_tpu.server.kiwi_server import Connection
+
+    class FakeWs:
+        closed = False
+
+        async def send_bytes(self, data):
+            await aio.sleep(3600)        # never drains
+
+    async def scenario():
+        conn = Connection.__new__(Connection)   # skip full init
+        conn.sendq = None
+        conn._sender_task = None
+        conn.send_drops = 0
+        ws = FakeWs()
+        # interleave stream + MSG packets beyond the queue bound
+        for i in range(Connection.SENDQ_MAX * 2):
+            kind = b"SND \x00" if i % 4 else b"MSG x=1"
+            conn.queue_bytes(ws, kind + bytes([i % 250]))
+        q = list(conn.sendq._queue)
+        msgs = sum(1 for _, d in q if d.startswith(b"MSG"))
+        snds = sum(1 for _, d in q if d.startswith(b"SND"))
+        # every MSG survived; the drops all came out of the stream
+        assert msgs == (Connection.SENDQ_MAX * 2 + 3) // 4
+        assert conn.send_drops == Connection.SENDQ_MAX * 2 - len(q)
+        assert snds == len(q) - msgs
+        conn.close_sender()
+
+    aio.run(scenario())
