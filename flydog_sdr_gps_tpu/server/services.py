@@ -173,6 +173,43 @@ def default_services(server, cfg=None,
         if st["f"]:
             raise RuntimeError(f"update fail reason {st['f']}")
 
+    async def nat_task():
+        # auto-NAT (the reference's UPnP_port_open_task): NAT-PMP to
+        # the default gateway, UPnP IGD fallback — real UDP/HTTP
+        # transports, enabled only with egress
+        import socket
+
+        async def udp_roundtrip(payload, addr, timeout=3.0):
+            loop = asyncio.get_running_loop()
+
+            def xfer():
+                s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                try:
+                    s.settimeout(timeout)
+                    if addr[0].startswith("239."):   # SSDP multicast
+                        s.setsockopt(socket.IPPROTO_IP,
+                                     socket.IP_MULTICAST_TTL, 2)
+                    s.sendto(payload, addr)
+                    return s.recv(2048)
+                except OSError:
+                    return None
+                finally:
+                    s.close()
+            return await loop.run_in_executor(None, xfer)
+
+        gw = (cfg.string("gateway_ip", "") if cfg else "") or \
+            "192.168.1.1"
+        local_ip = getattr(server, "local_ip", "") or "127.0.0.1"
+        out = await netproto.auto_nat_open(
+            _fetch, udp_roundtrip, gw, server.port, local_ip,
+            server.port)
+        server.nat_status = out
+        if not out.get("ok"):
+            raise RuntimeError(f"auto-NAT failed: "
+                               f"{out.get('error', out)}")
+
+    sched.register("nat_open", 3600.0, nat_task,
+                   enabled=egress_allowed)
     sched.register("registry_checkin", 900.0, registry_task,
                    enabled=egress_allowed)
     sched.register("ddns_update", 3600.0, ddns_task,
