@@ -56,6 +56,9 @@ PAGE = r"""<!doctype html>
  zoom <input id="zoom" type="range" min="0" max="14" value="0"
              style="width:100px">
  <label><input type="checkbox" id="agc" checked> AGC</label>
+ <label><input type="checkbox" id="nb"> NB</label>
+ <label><input type="checkbox" id="nr"> NR</label>
+ <label><input type="checkbox" id="deemp"> de-emp</label>
  sq <input id="sq" type="range" min="0" max="40" value="0"
            style="width:70px">
  <div id="smeter"><div id="smeter_fill"></div></div>
@@ -551,6 +554,17 @@ document.getElementById("agc").addEventListener("change", (e) => {
 });
 document.getElementById("sq").addEventListener("input", (e) => {
   setMsg(snd_ws, "squelch sq=" + e.target.value);
+});
+// noise blanker / reduction / de-emphasis (rx_sound_cmd.cpp SETs)
+document.getElementById("nb").addEventListener("change", (e) => {
+  setMsg(snd_ws, "nb algo=1 on=" + (e.target.checked ? 1 : 0));
+});
+document.getElementById("nr").addEventListener("change", (e) => {
+  setMsg(snd_ws, "nr algo=3");               // NR_SPECTRAL
+  setMsg(snd_ws, "nr type=0 en=" + (e.target.checked ? 1 : 0));
+});
+document.getElementById("deemp").addEventListener("change", (e) => {
+  setMsg(snd_ws, "de_emp=" + (e.target.checked ? 1 : 0));
 });
 const modesEl = document.getElementById("modes");
 MODES.forEach((m) => {
