@@ -786,6 +786,11 @@ class KiwiServer:
         self.app.router.add_get("/users", self.http_users)
         self.app.router.add_get("/snr", self.http_snr)
         self.app.router.add_get("/gps", self.http_gps)
+        # remaining AJAX surface (`rx/rx_server_ajax.cpp:68-88`)
+        self.app.router.add_get("/VER", self.http_ver)
+        self.app.router.add_get("/s-meter", self.http_smeter)
+        self.app.router.add_get("/adc", self.http_adc)
+        self.app.router.add_get("/dx", self.http_dx)
         self.app.router.add_get("/{ts}/{stream:.*}", self.ws_entry)
 
     def check_password(self, conn_type: str, password: str) -> bool:
@@ -1270,6 +1275,47 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         return web.Response(text=json.dumps(st),
                             content_type="application/json")
 
+    async def http_ver(self, request):
+        """AJAX_VERSION (`rx_server_ajax.cpp` "/VER"): maj/min."""
+        maj, min_ = (__version__.split(".") + ["0"])[:2]
+        return web.Response(text=json.dumps(
+            {"maj": int(maj), "min": int(min_)}),
+            content_type="application/json")
+
+    async def http_smeter(self, request):
+        """AJAX_S_METER: current S-meter dBm of every busy channel."""
+        taps_sm = getattr(self, "_last_smeter", None)
+        rows = []
+        for c in self.conns.values():
+            if c.rx_chan is None:
+                continue
+            dbm = (float(taps_sm[c.rx_chan])
+                   if taps_sm is not None
+                   and c.rx_chan < len(taps_sm) else None)
+            rows.append({"ch": c.rx_chan, "freq": c.freq_khz,
+                         "mode": c.mode, "dbm": dbm})
+        return web.Response(text=json.dumps(rows),
+                            content_type="application/json")
+
+    async def http_adc(self, request):
+        """AJAX_ADC: overflow count + clock info."""
+        return web.Response(text=json.dumps({
+            "adc_ov": self.adc_ov_count,
+            "adc_clk_nom": int(self.engine.params.adc_clock),
+            "blocks": self.engine.seq}),
+            content_type="application/json")
+
+    async def http_dx(self, request):
+        """AJAX_DX: label dump for a span (?min=&max= in kHz)."""
+        try:
+            lo = float(request.query.get("min", 0))
+            hi = float(request.query.get("max", 32000))
+        except ValueError:
+            return web.Response(status=400, text="bad span")
+        rows = [lab.to_json() for lab in self.dx.in_range(lo, hi)]
+        return web.Response(text=json.dumps({"dx": rows}),
+                            content_type="application/json")
+
     async def http_snr(self, request):
         """SNR self-measurement history (`rx/rx_util.cpp:917-1080`
         SNR_meas analogue; measurements appended by snr_measure())."""
@@ -1437,6 +1483,7 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 lprintf("WARNING: device fetch stalled for %.0f s "
                         "(runtime wedged?)", time.monotonic() - t0)
         smeter = got[-2]
+        self._last_smeter = smeter      # /s-meter AJAX endpoint
         # ADC overflow: input at/over full scale (the reference
         # latches the FPGA ADC_OVFL line into the SND header and
         # /status, rx/rx_util.cpp)

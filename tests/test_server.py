@@ -379,3 +379,44 @@ async def ext_panel_scenario():
 def test_extension_panel_over_snd():
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
         ext_panel_scenario())
+
+
+def test_ajax_endpoints_ver_smeter_adc_dx():
+    """The remaining AJAX surface (`rx/rx_server_ajax.cpp:68-88`):
+    /VER, /s-meter, /adc, /dx."""
+    async def run():
+        server = make_server()
+        from flydog_sdr_gps_tpu.utils.dx import DxLabel
+        server.dx.upsert(DxLabel(14100.0, "usb", "AJAXLBL", ""))
+        runner = await server.start()
+        try:
+            async with aiohttp.ClientSession() as s:
+                base = f"http://127.0.0.1:{PORT}"
+                ver = await (await s.get(base + "/VER")).json()
+                assert set(ver) == {"maj", "min"}
+
+                ws = await ws_connect(s, "SND")
+                await ws.send_str("SET auth t=kiwi p=")
+                await ws.send_str("SET mod=usb low_cut=300 "
+                                  "high_cut=2700 freq=14200.0")
+                for _ in range(80):
+                    m = await asyncio.wait_for(ws.receive(),
+                                               timeout=30)
+                    if m.type == aiohttp.WSMsgType.BINARY and \
+                            m.data[:3] == b"SND":
+                        break
+                sm = await (await s.get(base + "/s-meter")).json()
+                assert sm and sm[0]["freq"] == 14200.0
+                assert sm[0]["dbm"] is None or sm[0]["dbm"] < 0
+
+                adc = await (await s.get(base + "/adc")).json()
+                assert adc["blocks"] >= 1 and "adc_ov" in adc
+
+                dx = await (await s.get(
+                    base + "/dx?min=14000&max=14200")).json()
+                assert any(r[2] == "AJAXLBL" for r in dx["dx"])
+                await ws.close()
+        finally:
+            await server.stop()
+            await runner.cleanup()
+    asyncio.run(asyncio.wait_for(run(), timeout=120))
