@@ -248,12 +248,18 @@ class Connection:
             lo = float(p.get("low_cut", -4000))
             hi = float(p.get("high_cut", 4000))
             freq_khz = float(p.get("freq", self.freq_khz))
+            # transverter support: clients tune DISPLAY frequency;
+            # the receiver mixes at display - freq_offset
+            # (`rx/rx_util.cpp:927` b_lo = f_lo - freq_offset_kHz)
+            hw_khz = freq_khz - self.server.freq_offset_khz
+            if not (0.0 <= hw_khz * 1e3 <= self.server.ui_srate):
+                return                 # outside the hardware span
             self.freq_khz = freq_khz
             self.mode = mode
             self.iq_mode = mode in ("iq", "drm")
             self.stereo_mode = mode == "sas"
             eng.set_channel(
-                ch, freq_hz=freq_khz * 1e3,
+                ch, freq_hz=hw_khz * 1e3,
                 mode=demod.MODE_NAMES.get(mode, demod.MODE_USB),
                 passband=(lo, hi))
             ev(EV_SND, "retune", f"ch{ch} {freq_khz} {mode}")
@@ -586,9 +592,11 @@ class Connection:
     async def send_initial_snd_msgs(self) -> None:
         eng = self.server.engine
         fs = eng.params.fs_out
-        await self.send_msg("SND", center_freq=int(self.server.ui_srate
-                                                   // 2),
+        off = self.server.freq_offset_khz * 1e3
+        await self.send_msg("SND", center_freq=int(
+                                self.server.ui_srate // 2 + off),
                             bandwidth=int(self.server.ui_srate),
+                            freq_offset=int(self.server.freq_offset_khz),
                             adc_clk_nom=int(eng.params.adc_clock))
         # audio_rate is the NOMINAL rate; sample_rate the true one
         # (reference sends both, client resamples by the ratio)
@@ -761,6 +769,10 @@ class KiwiServer:
         # `rx/rx_waterfall.cpp` audio-FFT mode)
         self.wf_enabled = wf_enabled
         self.wf_cal = -13.0
+        # transverter display offset in kHz (cfg "freq_offset",
+        # `rx/rx_util.cpp` freq_offset_kHz): 0 = direct HF
+        self.freq_offset_khz = (cfg.float("freq_offset", 0.0)
+                                if cfg else 0.0)
         # shared waterfall chains (reference wf_chans, <=4 DDCs)
         self.wf = wf_service.WfSubsystem(
             engine.params.adc_clock, ui_srate, capacity=wf_chans)
@@ -1012,7 +1024,7 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                         if self.autorun else 0),
             "spots": (len(self.autorun.spots) if self.autorun else 0),
             "bands": int(self.ui_srate / 1e3),
-            "freq_offset": 0.0,
+            "freq_offset": self.freq_offset_khz,
             "sw_version": f"KiwiSDR_TPU_v{__version__}",
             "antenna": "",
             "uptime": int(time.time() - self.start_time),

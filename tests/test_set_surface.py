@@ -272,3 +272,47 @@ def test_dx_filter_match_modes():
     assert dx_mod.filter_match(lab, "", r"\d+ mW", grep=True)
     assert not dx_mod.filter_match(lab, "", r"^\d+ W$", grep=True)
     assert dx_mod.filter_match(lab, "", "")
+
+
+def test_transverter_freq_offset():
+    """cfg freq_offset: clients tune DISPLAY frequency; the DDC mixes
+    at display - offset (`rx/rx_util.cpp` freq_offset_kHz), /status
+    reports the offset, and out-of-span tunes are refused."""
+    async def run():
+        from flydog_sdr_gps_tpu.utils import Config
+        params = rx.RxParams(num_channels=2, audio_block=128)
+        src = SyntheticSource(tones=((14.201e6, 0.5),),
+                              noise_rms=0.001)
+        cfg = Config()
+        cfg.set("freq_offset", 116000.0)      # 2 m transverter (kHz)
+        server = KiwiServer(StreamEngine(params, src), cfg=cfg,
+                            port=PORT + 8, realtime=False)
+        runner = await server.start()
+        try:
+            async with aiohttp.ClientSession() as s:
+                txt = await (await s.get(
+                    f"http://127.0.0.1:{PORT + 8}/status")).text()
+                assert "freq_offset=116000.0" in txt
+                ws = await s.ws_connect(
+                    f"http://127.0.0.1:{PORT + 8}/off/SND")
+                await ws.send_str("SET auth t=kiwi p=")
+                await asyncio.sleep(0.3)
+                ch = server.conns["off"].rx_chan
+                # display 130.2018 MHz -> hardware 14.2018 MHz
+                await ws.send_str("SET mod=usb low_cut=300 "
+                                  "high_cut=2700 freq=130201.8")
+                await asyncio.sleep(0.4)
+                assert abs(server.engine.ctl[ch].freq_hz
+                           - 14.2018e6) < 1.0
+                # a display tune whose hardware freq is negative is
+                # refused (channel keeps its tuning)
+                await ws.send_str("SET mod=usb low_cut=300 "
+                                  "high_cut=2700 freq=100000.0")
+                await asyncio.sleep(0.4)
+                assert abs(server.engine.ctl[ch].freq_hz
+                           - 14.2018e6) < 1.0
+                await ws.close()
+        finally:
+            await server.stop()
+            await runner.cleanup()
+    asyncio.run(asyncio.wait_for(run(), timeout=120))
