@@ -1020,6 +1020,11 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             "gps_good": gps_good,
             "fixes": gps_fixes,
             "adc_ov": self.adc_ov_count,
+            # "snr=all,HF" (rx_server_ajax.cpp:659 — aggregators
+            # parse it); the latest self-measurement serves both
+            "snr": "{0},{0}".format(
+                int(self.snr_history[-1]["snr"])
+                if self.snr_history else 0),
             "autorun": (len(self.autorun.channels)
                         if self.autorun else 0),
             "spots": (len(self.autorun.spots) if self.autorun else 0),
