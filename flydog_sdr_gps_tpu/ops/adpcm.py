@@ -90,6 +90,32 @@ def _encode_py(samples: np.ndarray, state: AdpcmState) -> np.ndarray:
     return out
 
 
+def encode_batch(samples_2d: np.ndarray,
+                 states_2d: np.ndarray) -> np.ndarray:
+    """Encode k independent channel streams in one call.
+
+    ``samples_2d``: (k, n) int16; ``states_2d``: (k, 2) int32
+    [predictor, index] per stream, mutated in place.  Returns
+    (k, n//2) packed nibbles.  This is the serving fan-out fast path:
+    one encode per CHANNEL shared by all its listeners/campers, like
+    the reference (`rx/rx_sound.cpp:1121-1139`, `c2s_sound_camp`).
+    """
+    try:
+        from ..runtime.native import adpcm_native
+        if adpcm_native is not None:
+            return adpcm_native.encode_batch(samples_2d, states_2d)
+    except ImportError:
+        pass
+    samples_2d = np.asarray(samples_2d, np.int16)
+    out = np.zeros((samples_2d.shape[0], samples_2d.shape[1] // 2),
+                   np.uint8)
+    for i in range(samples_2d.shape[0]):
+        st = AdpcmState(int(states_2d[i, 0]), int(states_2d[i, 1]))
+        out[i] = _encode_py(samples_2d[i], st)
+        states_2d[i, 0], states_2d[i, 1] = st.predictor, st.index
+    return out
+
+
 def encode_u8(samples: np.ndarray, state: AdpcmState) -> np.ndarray:
     """u8-domain IMA variant used by waterfall rows
     (`rx/csdr/ima_adpcm.cpp:200-214` encode_ima_adpcm_u8_e8):

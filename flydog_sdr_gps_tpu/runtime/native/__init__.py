@@ -42,6 +42,9 @@ if _lib is not None:
     _lib.adpcm_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16),
         ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+    _lib.adpcm_encode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
 
     class adpcm_native:  # noqa: N801 — module-like facade
         @staticmethod
@@ -55,6 +58,24 @@ if _lib is not None:
                 len(samples),
                 st.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
             state.predictor, state.index = int(st[0]), int(st[1])
+            return out
+
+        @staticmethod
+        def encode_batch(samples_2d, states_2d):
+            """k channel streams in one call: ``samples_2d`` (k, n)
+            int16 row-major, ``states_2d`` (k, 2) int32 mutated in
+            place; returns (k, n//2) uint8 packed nibbles."""
+            s = np.ascontiguousarray(samples_2d, np.int16)
+            st = np.ascontiguousarray(states_2d, np.int32)
+            k, n = s.shape
+            out = np.zeros((k, n // 2), np.uint8)
+            _lib.adpcm_encode_batch(
+                s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                n, k,
+                st.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if st is not states_2d:          # copy was made: write back
+                states_2d[...] = st
             return out
 
         @staticmethod

@@ -52,6 +52,21 @@ void adpcm_encode(const int16_t *in, uint8_t *out, int n, int32_t *state)
     state[0] = pred; state[1] = idx;
 }
 
+/* Batched encode: k independent channel streams of n samples each
+ * (in: k rows x n, row-major; out: k rows x n/2; states: k x 2).
+ * One call per served block encodes EVERY channel that has at least
+ * one compressed listener — the reference encodes once per channel
+ * and fans the buffer out to campers (`rx/rx_sound.cpp:1121-1139`,
+ * `c2s_sound_camp`); per-connection encodes scale with listeners,
+ * this scales with channels. */
+void adpcm_encode_batch(const int16_t *in, uint8_t *out, int n, int k,
+                        int32_t *states)
+{
+    for (int c = 0; c < k; c++)
+        adpcm_encode(in + (int64_t)c * n, out + (int64_t)c * (n / 2),
+                     n, states + 2 * (int64_t)c);
+}
+
 void adpcm_decode(const uint8_t *in, int16_t *out, int n_samples,
                   int32_t *state)
 {

@@ -102,7 +102,6 @@ class Connection:
         self.nr_algo = 0              # NR_OFF/WDSP/ORIG/SPECTRAL
         self.snd_seq = 0
         self.wf_seq = 0
-        self.adpcm_snd = adpcm.AdpcmState()
         self.adpcm_wf = adpcm.AdpcmState()
         self.zoom = 0
         self.start_bin = 0
@@ -271,8 +270,10 @@ class Connection:
             eng.set_channel(ch, squelch=float(p.get("sq", 0) or
                                               p.get("squelch", 0)))
         elif cmd == "compression":
+            # SND ADPCM state is shared per CHANNEL (snd_group_key);
+            # a toggling listener re-joins the stream mid-flight and
+            # converges, like a reference camper
             self.compression = p.get("compression", "1") in ("1", "true")
-            self.adpcm_snd = adpcm.AdpcmState()
         elif cmd == "little-endian":
             self.little_endian = True
         elif cmd == "de_emp" and ch is not None:
@@ -610,47 +611,35 @@ class Connection:
         await self.send_msg("W/F", bandwidth=int(self.server.ui_srate))
 
     # -- per-block emitters ---------------------------------------------
-    async def emit_snd_np(self, audio_np: np.ndarray,
-                          iq_np: tuple | None, smeter: float,
-                          adc_ovfl: bool = False,
-                          audio2_np: np.ndarray | None = None) -> None:
-        """Send one SND packet from the block's (already fetched) host
-        copies — one device fetch serves every connection."""
-        if self.snd_ws is None or self.snd_ws.closed or \
-                self.rx_chan is None:
-            return
-        ch = self.rx_chan
-        flags = packets.SND_FLAG_ADC_OVFL if adc_ovfl else 0
-        eng = self.server.engine
-        if self.stereo_mode and audio2_np is not None:
-            # SAS stereo rides the IQ wire format: L/R interleaved s16,
-            # compression off (`rx/rx_sound.cpp:1047` pushes stereo back
-            # onto the IQ buffer)
-            payload = packets.iq_payload_s16(
-                audio_np[:, ch], audio2_np[:, ch], self.little_endian)
-            pkt = packets.snd_packet(flags, self.snd_seq, smeter, payload)
-        elif self.iq_mode and iq_np is not None:
-            re = iq_np[0][:, ch]
-            im = iq_np[1][:, ch]
-            payload = packets.iq_payload_s16(re, im, self.little_endian)
-            ticks, secs = eng.gps_timestamp()
+    def snd_group_key(self) -> tuple:
+        """The (wire-format, channel, endian) group this listener's
+        SND payload belongs to.  Every member of a group receives the
+        SAME payload bytes — one encode per group per block, shared by
+        owners and campers alike, the way the reference encodes each
+        channel once and fans the buffer out
+        (`rx/rx_sound.cpp:1121-1139`, `c2s_sound_camp`)."""
+        if self.stereo_mode:
+            return ("stereo", self.rx_chan, self.little_endian)
+        if self.iq_mode:
+            return ("iq", self.rx_chan, self.little_endian)
+        if self.compression:
+            # ADPCM codec state is per CHANNEL (server-side shared
+            # stream); a listener joining mid-stream converges like a
+            # reference camper does
+            return ("adpcm", self.rx_chan, False)
+        return ("s16", self.rx_chan, self.little_endian)
+
+    def queue_snd(self, payload: bytes, flags: int, smeter: float,
+                  iq_hdr: tuple | None = None) -> None:
+        """Frame one prepared SND payload with this connection's
+        header (seq/flags/smeter) and enqueue it."""
+        if iq_hdr is not None:
             pkt = packets.snd_packet_iq(
-                flags, self.snd_seq, smeter, 0,
-                int(secs) % (7 * 24 * 3600), int((secs % 1.0) * 1e9),
+                flags, self.snd_seq, smeter, 0, iq_hdr[0], iq_hdr[1],
                 payload)
         else:
-            audio = audio_np[:, ch]
-            if self.compression:
-                s16 = np.clip(audio * 32767.0, -32768,
-                              32767).astype(np.int16)
-                payload = adpcm.encode(s16, self.adpcm_snd).tobytes()
-                flags |= packets.SND_FLAG_COMPRESSED
-            else:
-                payload = packets.audio_payload_s16(
-                    audio, self.little_endian)
-            if self.little_endian:
-                flags |= packets.SND_FLAG_LITTLE_ENDIAN
-            pkt = packets.snd_packet(flags, self.snd_seq, smeter, payload)
+            pkt = packets.snd_packet(flags, self.snd_seq, smeter,
+                                     payload)
         self.snd_seq += 1
         self.queue_bytes(self.snd_ws, pkt)
 
@@ -751,6 +740,29 @@ class KiwiServer:
         # on-device channel-column gather for the per-block host fetch
         # (one compile per power-of-2 subscriber bucket)
         self._gather_jit = None
+        # shared per-CHANNEL ADPCM encoder state [predictor, index]:
+        # one encode per channel per block, fanned out to every
+        # compressed listener/camper of that channel
+        self._chan_codec: dict[int, np.ndarray] = {}
+        # fetch-stall watchdog escalation (reference recovery ladder:
+        # data-pump reset -> kiwi_restart); thresholds in stalled
+        # watch periods.  _device_get is a test seam.  Stalls observed
+        # while a compile is in flight (compiles_in_flight > 0) never
+        # escalate: remote compiles legitimately wedge the device
+        # tunnel for minutes and recover (measured; see
+        # .claude/skills/verify), unlike a dead runtime.
+        self.stall_warn_s: float | None = None
+        self.stall_reset_blocks = 6
+        self.stall_restart_blocks = 12
+        self.compiles_in_flight = 0
+        self._device_get = None
+        # subscriber-bucket warm set: fused serve programs already
+        # compiled.  A bucket growth (client #9 -> bucket 16) compiles
+        # OFF the serving path; until it's ready the loop keeps
+        # serving the largest warm bucket so live streams never stall
+        # mid-flight on a compile.
+        self._warm_buckets: set[int] = set()
+        self._bucket_compiling: int | None = None
         # background decoders on idle channels (rx_util.cpp arun_*)
         from . import autorun as autorun_mod
         self.autorun = (autorun_mod.AutorunManager(self, autorun)
@@ -859,6 +871,7 @@ class KiwiServer:
                 if ch not in used:
                     conn.rx_chan = ch
                     self.engine.ctl[ch].in_use = True
+                    self._chan_codec.pop(ch, None)   # fresh stream
                     return ch
             # all channels busy: autorun decoders yield to real users
             # (`rx/rx_util.cpp` arun preemption)
@@ -870,6 +883,7 @@ class KiwiServer:
         # campers share someone else's channel — never free it
         if conn.rx_chan is not None and not conn.camping:
             self.engine.ctl[conn.rx_chan].in_use = False
+            self._chan_codec.pop(conn.rx_chan, None)
         self.wf.detach(conn.wf_slot)
         conn.wf_slot = None
         conn.close_sender()
@@ -1350,6 +1364,44 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         self.snr_history = self.snr_history[-168:]   # a week at 1/hr
         return meas
 
+    def _serve_bucket(self, n_subs: int) -> int:
+        """Pick the subscriber bucket to SERVE this block.
+
+        Needed bucket warm (or nothing warm yet, i.e. the very first
+        block): use it.  Otherwise kick off a background compile of
+        the needed bucket (`StreamEngine.prewarm_gather` — compile-
+        only, engine-state-free) and serve the best warm bucket
+        meanwhile: the smallest warm one that still fits every
+        subscriber, else the largest warm one (late joiners wait a
+        few blocks; nobody already streaming stalls)."""
+        need = 1
+        while need < n_subs:
+            need *= 2
+        if need in self._warm_buckets or not self._warm_buckets:
+            return need
+        prewarm = getattr(self.engine, "prewarm_gather", None)
+        if prewarm is None:
+            return need
+        if self._bucket_compiling is None:
+            self._bucket_compiling = need
+            import threading
+
+            def _compile(bucket=need):
+                self.compiles_in_flight += 1
+                try:
+                    prewarm(bucket)
+                    self._warm_buckets.add(bucket)
+                    lprintf("bucket %d compiled off-path", bucket)
+                except Exception as e:      # noqa: BLE001
+                    lprintf("bucket %d prewarm failed: %s", bucket, e)
+                finally:
+                    self.compiles_in_flight -= 1
+                    self._bucket_compiling = None
+
+            threading.Thread(target=_compile, daemon=True).start()
+        bigger = [b for b in self._warm_buckets if b >= n_subs]
+        return min(bigger) if bigger else max(self._warm_buckets)
+
     def _gather_cols(self, audio, audio2, iq_re, iq_im, idx):
         """Slice the subscribed channels' columns on-device (one jit,
         reused across bucket sizes by shape)."""
@@ -1415,16 +1467,23 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                  if c.rx_chan is not None and c.authed}
                 | (self.autorun.channels
                    if self.autorun is not None else set()))
-            bucket = 1
-            while bucket < len(subs):
-                bucket *= 2
+            fused = getattr(self.engine, "run_block_gather", None)
+            if subs and fused is not None:
+                bucket = self._serve_bucket(len(subs))
+                if bucket < len(subs):
+                    subs = subs[:bucket]      # late joiners wait for
+                    #                           the off-path compile
+            else:
+                bucket = 1
+                while bucket < len(subs):
+                    bucket *= 2
             idx = np.zeros(bucket, np.int32)
             idx[:len(subs)] = subs
-            fused = getattr(self.engine, "run_block_gather", None)
             try:
                 if subs and fused is not None:
                     out = await loop.run_in_executor(
                         None, fused, idx)
+                    self._warm_buckets.add(bucket)
                     fetch = out          # cols + (smeter, peak)
                 else:
                     taps = await loop.run_in_executor(
@@ -1479,18 +1538,64 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             else:
                 await asyncio.sleep(0)
 
+    def _encode_payloads(self, audio, audio2, iq_re, iq_im, chmap,
+                         keys):
+        """One encode per (format, channel, endian) group — runs in
+        the executor, off the event loop.  All ADPCM channels are
+        encoded in ONE native batch call (`adpcm_encode_batch`); the
+        s16 conversion is one vectorized pass.  Per-listener cost is
+        reduced to header framing + queue append."""
+        payloads: dict[tuple, bytes] = {}
+        adpcm_keys = sorted(k for k in keys if k[0] == "adpcm")
+        if adpcm_keys:
+            chs = [k[1] for k in adpcm_keys]
+            cols = [chmap[ch] for ch in chs]
+            s16 = np.clip(
+                audio[:, cols].T * 32767.0, -32768, 32767
+            ).astype(np.int16)
+            states = np.empty((len(chs), 2), np.int32)
+            for i, ch in enumerate(chs):
+                states[i] = self._chan_codec.setdefault(
+                    ch, np.zeros(2, np.int32))
+            enc = adpcm.encode_batch(np.ascontiguousarray(s16), states)
+            for i, (k_, ch) in enumerate(zip(adpcm_keys, chs)):
+                self._chan_codec[ch][...] = states[i]
+                payloads[k_] = enc[i].tobytes()
+        for k_ in keys:
+            kind, ch, le = k_
+            if kind == "adpcm":
+                continue
+            col = chmap[ch]
+            if kind == "s16":
+                payloads[k_] = packets.audio_payload_s16(
+                    audio[:, col], le)
+            elif kind == "iq":
+                payloads[k_] = packets.iq_payload_s16(
+                    iq_re[:, col], iq_im[:, col], le)
+            elif kind == "stereo":
+                # SAS stereo rides the IQ wire format: L/R interleaved
+                # s16 (`rx/rx_sound.cpp:1047`)
+                payloads[k_] = packets.iq_payload_s16(
+                    audio[:, col], audio2[:, col], le)
+        return payloads
+
     async def _process_fetched(self, loop, fetch, subs) -> None:
         """Fetch one dispatched block's host copies and fan out."""
         import jax
         t0 = time.monotonic()
-        fut = loop.run_in_executor(None, jax.device_get, fetch)
+        fut = loop.run_in_executor(
+            None, self._device_get or jax.device_get, fetch)
         # watchdog: a wedged device runtime can hang a fetch
-        # indefinitely (observed on the tunneled backend); the hang
-        # cannot be safely interrupted, but operators need to see it
-        # instead of a silently frozen server
-        warn_after = max(
+        # indefinitely (observed on the tunneled backend).  Recovery
+        # ladder, mirroring the reference's escalation (data-pump
+        # latency reset -> SPI NO-REPLY panic -> kiwi_restart(),
+        # `rx/data_pump.cpp:245-269`, `main.cpp:90-101`): warn, then
+        # attempt a streaming-state reset, then kick clients and
+        # request the re-exec restart.
+        warn_after = self.stall_warn_s or max(
             10.0 * self.engine.params.ddc.adc_block
             / self.engine.params.adc_clock, 10.0)
+        stalls = 0
         while True:
             try:
                 got = await asyncio.wait_for(
@@ -1498,7 +1603,29 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 break
             except asyncio.TimeoutError:
                 lprintf("WARNING: device fetch stalled for %.0f s "
-                        "(runtime wedged?)", time.monotonic() - t0)
+                        "(runtime wedged?%s)", time.monotonic() - t0,
+                        ", compile in flight"
+                        if self.compiles_in_flight else "")
+                if self.compiles_in_flight:
+                    continue        # compile stalls recover; no count
+                stalls += 1
+                if stalls == self.stall_reset_blocks:
+                    # a reset cannot unstick THIS fetch, but it clears
+                    # NaN-poisoned / wedged program state so the next
+                    # block can succeed if the runtime comes back
+                    lprintf("stall: attempting streaming-state reset")
+                    loop.run_in_executor(None, self._try_engine_reset)
+                if stalls >= self.stall_restart_blocks:
+                    lprintf("stall: runtime wedged for %d periods — "
+                            "kicking clients, requesting restart",
+                            stalls)
+                    for conn in list(self.conns.values()):
+                        await self.kick_conn(conn, "restart")
+                    self.restart_requested = True
+                    self._stop.set()
+                    self._restart_event.set()
+                    raise RuntimeError(
+                        "device runtime wedged; restart requested")
         smeter = got[-2]
         self._last_smeter = smeter      # /s-meter AJAX endpoint
         # ADC overflow: input at/over full scale (the reference
@@ -1518,23 +1645,54 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             host_taps = HostTaps(got[0], got[1], got[2], got[3],
                                  smeter, chmap)
             audio_np = host_taps.audio
-            audio2_np = host_taps.audio2
-            iq_np = (host_taps.iq_post_agc.re,
-                     host_taps.iq_post_agc.im)
         else:
             host_taps = None
-            audio_np = audio2_np = iq_np = None
+            audio_np = None
+        # group the live listeners by wire format; ONE encode per
+        # group (shared by every listener/camper of that channel),
+        # all groups computed in a single executor call
+        snd_conns: list[tuple[Connection, tuple]] = []
+        keys: set[tuple] = set()
+        for conn in self.conns.values():
+            if conn.authed and conn.snd_ws is not None and \
+                    conn.rx_chan in chmap:
+                k_ = conn.snd_group_key()
+                snd_conns.append((conn, k_))
+                keys.add(k_)
+        payloads: dict[tuple, bytes] = {}
+        if keys:
+            payloads = await loop.run_in_executor(
+                None, self._encode_payloads, got[0], got[1], got[2],
+                got[3], chmap, keys)
+        iq_hdr = None
+        if any(k[0] == "iq" for k in keys):
+            _ticks, secs = self.engine.gps_timestamp()
+            iq_hdr = (int(secs) % (7 * 24 * 3600),
+                      int((secs % 1.0) * 1e9))
+        base_flags = packets.SND_FLAG_ADC_OVFL if adc_ovfl else 0
+        for conn, k_ in snd_conns:
+            payload = payloads.get(k_)
+            if payload is None or conn.snd_ws is None:
+                continue
+            kind, ch, le = k_
+            flags = base_flags
+            hdr_iq = None
+            if kind == "adpcm":
+                flags |= packets.SND_FLAG_COMPRESSED
+            elif kind == "s16" and le:
+                flags |= packets.SND_FLAG_LITTLE_ENDIAN
+            elif kind == "iq":
+                hdr_iq = iq_hdr
+            try:
+                conn.queue_snd(payload, flags, float(smeter[ch]),
+                               hdr_iq)
+            except ConnectionResetError:
+                pass
         for conn in list(self.conns.values()):
             try:
                 # a conn that authed AFTER the subs snapshot has
                 # no gathered column yet — it starts next block
                 in_map = conn.rx_chan in chmap
-                if conn.authed and conn.snd_ws is not None and \
-                        in_map:
-                    await conn.emit_snd_np(
-                        audio_np, iq_np,
-                        float(smeter[conn.rx_chan]),
-                        adc_ovfl=adc_ovfl, audio2_np=audio2_np)
                 if conn.authed and conn.wf_ws is not None:
                     if not self.wf_enabled:
                         if in_map:
@@ -1553,6 +1711,14 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         if self.autorun is not None and host_taps is not None:
             await loop.run_in_executor(
                 None, self.autorun.process_block, host_taps)
+
+    def _try_engine_reset(self) -> None:
+        """Streaming-state reset in the executor (may itself block on
+        a wedged runtime — that's why it is fired, not awaited)."""
+        try:
+            self.engine.reset_streaming_state()
+        except Exception as e:          # noqa: BLE001
+            lprintf("stall reset failed: %s", e)
 
     async def kick_conn(self, conn: Connection, reason: str) -> None:
         """Enforced disconnect: notify, close sockets, free the channel

@@ -81,7 +81,12 @@ class ServiceScheduler:
     async def stop(self) -> None:
         self._stop.set()
         if self._task:
-            await self._task
+            # a service wedged on device work (e.g. SNR measurement
+            # over a degraded tunnel) must not hang shutdown/restart
+            try:
+                await asyncio.wait_for(self._task, timeout=10.0)
+            except asyncio.TimeoutError:
+                self._task.cancel()
 
     def status(self) -> list[dict]:
         return [dict(name=s.name, enabled=s.enabled, runs=s.runs,

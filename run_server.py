@@ -43,6 +43,12 @@ p.add_argument("--mesh", default=None,
                     "e.g. --mesh time=2,chan=4 (device count must "
                     "equal time*chan; with --cpu a virtual CPU mesh "
                     "of that size is created)")
+p.add_argument("--max-listeners", type=int, default=16,
+               help="prewarm fused serve programs for subscriber "
+                    "buckets up to this count at boot (persistent "
+                    "compile cache makes later boots fast); a bucket "
+                    "beyond it compiles off the serving path on "
+                    "first use")
 p.add_argument("--block", type=int, default=None,
                help="audio samples per block (default: 2048 on TPU "
                     "so the tunnel round trip fits the block period, "
@@ -179,23 +185,32 @@ if not server.dx.labels:
 
 
 async def prewarm():
-    """Compile the fused serve programs for small subscriber buckets
-    in the background so the FIRST listener doesn't wait minutes on
-    the remote compile helper (the persistent compile cache makes
-    later boots fast)."""
+    """Compile the fused serve programs for every subscriber bucket
+    up to --max-listeners in the background, so neither the FIRST
+    listener nor listener #9/#17/... waits on the remote compile
+    helper (the persistent compile cache makes later boots fast).
+    Buckets beyond the prewarmed set compile off the serving path
+    (`KiwiServer._serve_bucket`)."""
     warm = getattr(eng, "prewarm_gather", None)
     if warm is None or getattr(eng, "run_block_gather", None) is None:
         return
     loop = asyncio.get_running_loop()
-    for bucket in (1, 2, 4, 8):
-        if bucket > nchan:
-            break
-        try:
+    top = 1
+    while top < min(max(args.max_listeners, 1), nchan):
+        top *= 2
+    bucket = 1
+    while bucket <= top:
+        server.compiles_in_flight += 1   # watchdog: compile stalls
+        try:                             # on the tunnel are benign
             await loop.run_in_executor(None, warm, bucket)
         except Exception as e:          # noqa: BLE001 — best effort
             print(f"prewarm bucket {bucket}: {e}", flush=True)
             return
+        finally:
+            server.compiles_in_flight -= 1
+        server._warm_buckets.add(bucket)
         print(f"prewarmed bucket {bucket}", flush=True)
+        bucket *= 2
 
 
 async def main():

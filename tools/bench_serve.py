@@ -109,13 +109,16 @@ async def _client(port: int, ts: str, freq_khz: float, n_blocks: int,
 
 
 
-async def _prewarm(eng, n_subs: int) -> None:
+async def _prewarm(server, n_subs: int) -> None:
     """Compile the fused step+gather program for the bucket the
-    client fleet will use BEFORE clients connect (a production
-    deployment does the same at boot for its expected bucket sizes) —
-    first-subscription compiles otherwise stall the serving phase for
-    minutes through the remote compile helper."""
+    client fleet will use BEFORE clients connect (run_server.py does
+    the same at boot up to --max-listeners) — first-subscription
+    compiles otherwise stall the serving phase for minutes through
+    the remote compile helper.  The bucket is registered warm so the
+    serving loop's off-path compile logic (_serve_bucket) uses it for
+    every smaller subscriber count during ramp-up."""
     import jax
+    eng = server.engine
     fused = getattr(eng, "run_block_gather", None)
     if fused is None:
         return
@@ -124,10 +127,60 @@ async def _prewarm(eng, n_subs: int) -> None:
         bucket *= 2
     loop = asyncio.get_running_loop()
     t0 = time.time()
-    out = await loop.run_in_executor(
-        None, fused, np.zeros(bucket, np.int32))
-    await loop.run_in_executor(None, jax.device_get, out[-1])
+    server.compiles_in_flight += 1
+    try:
+        out = await loop.run_in_executor(
+            None, fused, np.zeros(bucket, np.int32))
+        await loop.run_in_executor(None, jax.device_get, out[-1])
+    finally:
+        server.compiles_in_flight -= 1
+    server._warm_buckets.add(bucket)
     log(f"  prewarmed bucket {bucket} in {time.time()-t0:.1f}s")
+
+
+async def _fleet_main(port: int, prefix: str, n: int, n_blocks: int,
+                      timeout_s: float, base_freq: float) -> list:
+    """One client-fleet subprocess: n SND clients, stats to stdout.
+
+    Fleets run in SEPARATE processes so 128-256 bench clients don't
+    share the server's GIL/event loop — in-process clients were
+    measuring their own receive overhead at high listener counts."""
+    stats = [dict() for _ in range(n)]
+    tasks = [asyncio.create_task(
+        _client(port, f"{prefix}{i}", base_freq + i, n_blocks,
+                stats[i], timeout_s))
+        for i in range(n)]
+    await asyncio.gather(*tasks, return_exceptions=True)
+    return stats
+
+
+async def _spawn_fleets(port: int, n_clients: int, n_blocks: int,
+                        timeout_s: float, procs: int) -> list:
+    """Split the client fleet across subprocesses; gather stats."""
+    import json as _json
+    import sys as _sys
+    per = [n_clients // procs + (1 if i < n_clients % procs else 0)
+           for i in range(procs)]
+    subs = []
+    base = 0
+    for i, k in enumerate(per):
+        if k == 0:
+            continue
+        subs.append(await asyncio.create_subprocess_exec(
+            _sys.executable, os.path.abspath(__file__), "--fleet",
+            str(port), f"f{i}_", str(k), str(n_blocks),
+            str(timeout_s), str(7100.0 + base),
+            stdout=asyncio.subprocess.PIPE))
+        base += k
+    stats = []
+    for sp in subs:
+        out, _ = await sp.communicate()
+        try:
+            stats.extend(_json.loads(out.decode().strip()
+                                     .splitlines()[-1]))
+        except (ValueError, IndexError):
+            log("fleet subprocess produced no stats")
+    return stats
 
 async def _run(C: int, block: int, n_clients: int, n_blocks: int,
                autorun: bool) -> dict:
@@ -156,20 +209,25 @@ async def _run(C: int, block: int, n_clients: int, n_blocks: int,
         while eng.seq == 0 and time.time() - t0 < 600:
             await asyncio.sleep(0.5)
         log(f"  first block after {time.time()-t0:.1f}s")
-        await _prewarm(eng, n_clients + (3 if autorun else 0))
+        await _prewarm(server, n_clients + (3 if autorun else 0))
 
-        stats = [dict() for _ in range(n_clients)]
         rf_block = block / params.fs_out        # audio s per block
         # generous wall: the K-subscriber fused program compiles on
         # first subscription (minutes through the remote helper on a
         # cold cache; seconds once the persistent cache has it) and
         # the warm-up skip keeps it out of the measurement
         timeout_s = max(480.0, 6.0 * rf_block * n_blocks)
-        tasks = [asyncio.create_task(
-            _client(port, f"bench{i}", 7100.0 + i, n_blocks,
-                    stats[i], timeout_s))
-            for i in range(n_clients)]
-        await asyncio.gather(*tasks)
+        procs = int(os.environ.get("BENCH_SERVE_PROCS", "2"))
+        if procs > 1 and n_clients >= 8:
+            stats = await _spawn_fleets(port, n_clients, n_blocks,
+                                        timeout_s, procs)
+        else:
+            stats = [dict() for _ in range(n_clients)]
+            tasks = [asyncio.create_task(
+                _client(port, f"bench{i}", 7100.0 + i, n_blocks,
+                        stats[i], timeout_s))
+                for i in range(n_clients)]
+            await asyncio.gather(*tasks)
         ok = [s for s in stats if s.get("pkts", 0) >= 2]
         if not ok:
             return dict(error="no client received packets")
@@ -279,7 +337,7 @@ async def _run_mixed(C: int, block: int, n_snd: int, n_wf: int,
         while eng.seq == 0 and time.time() - t0 < 600:
             await asyncio.sleep(0.5)
         log(f"  first block after {time.time()-t0:.1f}s")
-        await _prewarm(eng, n_snd + 2 + 1)   # +2 autorun units, +1 wf
+        await _prewarm(server, n_snd + 2 + 1)  # +2 autorun units, +1 wf
         rf_block = block / params.fs_out
         timeout_s = max(540.0, 8.0 * rf_block * n_blocks)
         snd_stats = [dict() for _ in range(n_snd)]
@@ -356,6 +414,13 @@ def run_serve_bench() -> dict:
 
 if __name__ == "__main__":
     import json
+    if len(sys.argv) > 1 and sys.argv[1] == "--fleet":
+        port_, prefix_, n_, blocks_, to_, f0_ = sys.argv[2:8]
+        out = asyncio.run(_fleet_main(
+            int(port_), prefix_, int(n_), int(blocks_), float(to_),
+            float(f0_)))
+        print(json.dumps(out))
+        sys.exit(0)
     if os.environ.get("BENCH_MIXED_ONLY"):
         out = run_mixed_bench()
         log("mixed result:", out)
