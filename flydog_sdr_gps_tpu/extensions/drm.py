@@ -97,13 +97,23 @@ def _count_data_cells(sdc: bool, frame: int | None = None) -> int:
 NUM_FAC_CELLS = drm_tables.NUM_FAC_CELLS
 FAC_MLC = drm_mlc.MlcParams("fac", NUM_FAC_CELLS)
 SDC_MLC = drm_mlc.MlcParams("sdc", _count_data_cells(True))
-# EEP (N1=0) protection level 1, 16-QAM and 64-QAM variants per frame
-MSC_MLC_16 = [drm_mlc.MlcParams("msc", _count_data_cells(False, f),
-                                levels=2, protection=1)
-              for f in range(FRAMES_PER_SUPER)]
-MSC_MLC_64 = [drm_mlc.MlcParams("msc", _count_data_cells(False, f),
-                                levels=3, protection=1)
-              for f in range(FRAMES_PER_SUPER)]
+# ETSI 6.2: the MSC is a CONTINUOUS cell stream across the superframe;
+# one multiplex frame = N_MUX cells (frame boundaries fall mid-symbol),
+# the cells beyond 3*N_MUX at the superframe end are dummy cells
+# (`dream/OFDMcellmapping/CellMappingTable.cpp:588-597`)
+_MSC_TOTAL_CELLS = _count_data_cells(False)
+N_MUX = _MSC_TOTAL_CELLS // FRAMES_PER_SUPER
+NUM_MSC_DUMMY = _MSC_TOTAL_CELLS - N_MUX * FRAMES_PER_SUPER
+# ETSI 7.6 MSC cell interleaving: block permutation with t_0 = 5 over
+# one multiplex frame; depth D=1 (short) implemented, D=5 (long)
+# signalled via the FAC interleaver-depth flag but not decoded
+_MSC_CELL_PERM = drm_mlc.interleaver_perm(N_MUX, 5)
+# EEP (N1=0) protection level 1, 16-QAM and 64-QAM variants
+MSC_MLC_16 = drm_mlc.MlcParams("msc", N_MUX, levels=2, protection=1)
+MSC_MLC_64 = drm_mlc.MlcParams("msc", N_MUX, levels=3, protection=1)
+# Dream's MSC dummy-cell values (`tables/TableCarMap.cpp:358-361`)
+_DUMMY_CELLS = np.array([0.3162277660 + 0.3162277660j,
+                         0.3162277660 - 0.3162277660j])
 
 
 def crc8(data_bits: np.ndarray) -> int:
@@ -176,7 +186,14 @@ def fac_unpack(bits72: np.ndarray) -> dict | None:
     return {"service_id": get(20, 24),
             "label_idx": get(52, 5),
             "msc_qam": _QAM_OF_MSC_MODE[get(8, 2)],
-            "frame_idx": _FAC_FRAME_OF.get(get(1, 2), 0)}
+            "frame_idx": _FAC_FRAME_OF.get(get(1, 2), 0),
+            "interleaver_short": bool(get(7, 1)),
+            # SDC mode is channel-parameter bit 10 (CS_1_SM=1 -> QPSK;
+            # a bit-11 read here misreported 4-QAM SDC as 16-QAM,
+            # caught by the Dream oracle test)
+            "sdc_qam": 4 if get(10, 1) else 16,
+            "language": get(47, 4),
+            "audio": get(51, 1) == 0}
 
 
 # FAC channel coding: the spec MLC chain — 72 bits at R=3/5 (rate id
@@ -194,6 +211,136 @@ def fac_cells_decode(cells: np.ndarray) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# SDC block: ETSI ES 201 980 section 6.4 — AFS index (4 bits), data
+# entities [length(7) version(1) type(4) body], zero padding, CRC-16
+# over the AFS index coded as a byte plus the data field (layout per
+# the reference's `dream/SDC/SDCTransmit.cpp:39-123`)
+# ---------------------------------------------------------------------------
+
+def crc16_drm(bits: np.ndarray) -> int:
+    """DRM CRC-16 (x^16+x^12+x^5+1, init all-ones, output inverted,
+    MSB first — Dream `util/CRC.cpp` iPolynMask[15])."""
+    reg = 0xFFFF
+    for b in bits:
+        fb = ((reg >> 15) & 1) ^ int(b)
+        reg = ((reg << 1) & 0xFFFF) ^ (0x1021 if fb else 0)
+    return reg ^ 0xFFFF
+
+
+def _bits_of(val: int, n: int) -> list[int]:
+    return [(val >> (n - 1 - i)) & 1 for i in range(n)]
+
+
+def sdc_entity_type0(len_a: int, len_b: int, prot_a: int = 0,
+                     prot_b: int = 1) -> tuple[int, list[int]]:
+    """Multiplex description (one stream)."""
+    return 0, (_bits_of(prot_a, 2) + _bits_of(prot_b, 2)
+               + _bits_of(len_a, 12) + _bits_of(len_b, 12))
+
+
+def sdc_entity_type1(label: bytes) -> tuple[int, list[int]]:
+    """Service label (short id 0)."""
+    label = label[:16]
+    body = _bits_of(0, 2) + _bits_of(0, 2)        # short id + rfu
+    for byte in label:
+        body += _bits_of(byte, 8)
+    return 1, body
+
+
+def sdc_entity_type9(stream_id: int = 0, coding: int = 0,
+                     sr_idx: int = 3, text: bool = False
+                     ) -> tuple[int, list[int]]:
+    """Audio information (layout per `dream/SDC/audioparam.cpp:153`):
+    short id, stream id, coding (0=AAC), SBR, mode, sample rate
+    (AAC: 1=12 kHz, 3=24 kHz), text flag, enhancement, coder
+    field, rfa."""
+    return 9, (_bits_of(0, 2) + _bits_of(stream_id, 2)
+               + _bits_of(coding, 2) + [0]          # SBR off
+               + _bits_of(0, 2)                     # mono
+               + _bits_of(sr_idx, 3) + [1 if text else 0, 0]
+               + _bits_of(0, 5) + [0])
+
+
+def sdc_pack(entities: list[tuple[int, list[int]]],
+             total_bits: int) -> np.ndarray:
+    """Assemble one SDC block of exactly ``total_bits`` bits."""
+    bits = [0, 0, 0, 1]                   # AFS index = 1 (Dream)
+    for etype, body in entities:
+        assert len(body) >= 4 and (len(body) - 4) % 8 == 0, etype
+        bits += _bits_of((len(body) - 4) // 8, 7)
+        bits += [0]                       # version flag
+        bits += _bits_of(etype, 4)
+        bits += body
+    data_bits = (total_bits - 20)
+    assert len(bits) - 4 <= data_bits, "SDC overflow"
+    bits += [0] * (4 + data_bits - len(bits))
+    # CRC over AFS-as-byte (4 zero MSBs) + data field
+    crc_in = [0, 0, 0, 0] + bits[:4 + data_bits]
+    c = crc16_drm(np.array(crc_in, np.uint8))
+    bits += _bits_of(c, 16)
+    assert len(bits) == total_bits
+    return np.array(bits, np.uint8)
+
+
+def sdc_parse(bits: np.ndarray) -> dict | None:
+    """Parse one SDC block -> {'label', 'streams', 'protection',
+    'audio'} or None on CRC failure."""
+    bits = np.asarray(bits, np.uint8)
+    n = len(bits)
+    crc_in = np.concatenate([np.zeros(4, np.uint8), bits[:n - 16]])
+    want = 0
+    for b in bits[n - 16:]:
+        want = (want << 1) | int(b)
+    if crc16_drm(crc_in) != want:
+        return None
+
+    def get(lo, k):
+        v = 0
+        for i in range(k):
+            v = (v << 1) | int(bits[lo + i])
+        return v
+    info: dict = {"afs": get(0, 4), "streams": [], "protection": None,
+                  "label": None, "audio": None}
+    pos = 4
+    while pos + 12 <= n - 16:
+        ln = get(pos, 7)
+        etype = get(pos + 8, 4)
+        body = pos + 12
+        nbody = ln * 8 + 4
+        if etype == 0 and ln == 0:
+            break                         # zero padding reached
+        if body + nbody > n - 16:
+            break
+        if etype == 0:
+            prot = (get(body, 2), get(body + 2, 2))
+            streams = []
+            for off in range(body + 4, body + nbody - 23, 24):
+                streams.append((get(off, 12), get(off + 12, 12)))
+            info["protection"] = prot
+            info["streams"] = streams
+        elif etype == 1:
+            raw = bytes(get(body + 4 + 8 * i, 8)
+                        for i in range((nbody - 4) // 8))
+            info["label"] = raw
+        elif etype == 9:
+            info["audio"] = dict(
+                short_id=get(body, 2), stream_id=get(body + 2, 2),
+                coding=get(body + 4, 2), sbr=get(body + 6, 1),
+                mode=get(body + 7, 2), sr_idx=get(body + 9, 3),
+                text=get(body + 12, 1))
+        pos = body + nbody
+    return info
+
+
+def audio_frames_per_super(audio: dict | None) -> int:
+    """AU count per audio super frame from the SDC type-9 audio
+    params: AAC @24 kHz -> 10, @12 kHz -> 5 (ETSI 5.3.1.1)."""
+    if audio and audio.get("coding") == 0 and audio.get("sr_idx") == 3:
+        return 10
+    return 5
+
+
+# ---------------------------------------------------------------------------
 # Transmitter (loopback source / sig-gen)
 # ---------------------------------------------------------------------------
 
@@ -208,33 +355,52 @@ class DrmTx:
                    msc_payload) -> np.ndarray:
         """One 3-frame superframe of passband audio (no silence pad).
 
+        ``sdc_payload``: the service label carried in the ETSI SDC
+        block (type-1 entity, <=16 bytes; the block also carries the
+        type-0 multiplex description and type-9 audio info).
         ``msc_payload``: bytes (data service, length+CRC-16 framed)
-        OR a list of 3 lists of AAC access units — then each
-        transmission frame carries an ETSI 5.3.1 AUDIO SUPER FRAME
+        OR a list of 3 lists of AAC access units — then each multiplex
+        frame carries an ETSI 5.3.1 AUDIO SUPER FRAME
         (:mod:`drm_audio`)."""
-        sdc_cells = SDC_MLC.encode(self._fit(
-            self._framed_bytes(sdc_payload), SDC_MLC.total_bits))
         msc_mlc = MSC_MLC_16 if self.msc_qam == 16 else MSC_MLC_64
-        si = 0
+        stream_len = msc_mlc.total_bits // 8
+        audio_mode = isinstance(msc_payload, (list, tuple))
+        label = (sdc_payload if isinstance(sdc_payload, bytes)
+                 else str(sdc_payload).encode())
+        sdc_bits = sdc_pack([
+            sdc_entity_type0(0, stream_len),
+            sdc_entity_type9(sr_idx=1),      # AAC 12 kHz -> 5 AUs
+            sdc_entity_type1(label),
+        ], SDC_MLC.total_bits)
+        sdc_cells = SDC_MLC.encode(sdc_bits)
+        # MSC: one multiplex frame of N_MUX cells per logical frame,
+        # cell-interleaved (ETSI 7.6 short), then laid out as one
+        # CONTINUOUS stream across the superframe + dummy cells
+        msc_stream = []
+        for f in range(FRAMES_PER_SUPER):
+            if audio_mode:
+                from . import drm_audio
+                sf = drm_audio.build_super_frame(
+                    list(msc_payload[f]), stream_len)
+                bits = np.unpackbits(np.frombuffer(sf, np.uint8))
+            else:
+                bits = self._framed_bytes(msc_payload)
+            msc_bits = np.zeros(msc_mlc.total_bits, np.uint8)
+            msc_bits[:min(len(bits), len(msc_bits))] = \
+                bits[:len(msc_bits)]
+            cells = msc_mlc.encode(msc_bits)
+            msc_stream.append(cells[_MSC_CELL_PERM])
+        if NUM_MSC_DUMMY:
+            msc_stream.append(
+                _DUMMY_CELLS[np.arange(NUM_MSC_DUMMY) % 2])
+        msc_cells = np.concatenate(msc_stream)
+        si, mi = 0, 0
         out = []
         for f in range(FRAMES_PER_SUPER):
             fac_cells = fac_encode(
                 fac_pack(self.service_id, self.label_idx,
                          msc_qam=self.msc_qam, frame_idx=f)[:72])
-            # MSC is coded per transmission frame (MLC.cpp iN_mux =
-            # useful MSC cells per frame); same framed payload each
-            if isinstance(msc_payload, (list, tuple)):
-                from . import drm_audio
-                cap = msc_mlc[f].total_bits // 8
-                sf = drm_audio.build_super_frame(
-                    list(msc_payload[f]), cap)
-                bits = np.unpackbits(np.frombuffer(sf, np.uint8))
-                msc_bits = self._fit(bits, msc_mlc[f].total_bits)
-            else:
-                msc_bits = self._fit(self._framed_bytes(msc_payload),
-                                     msc_mlc[f].total_bits)
-            msc_cells = msc_mlc[f].encode(msc_bits)
-            fi, mi = 0, 0
+            fi = 0
             for sym in range(SYMS_PER_FRAME):
                 ssym = f * SYMS_PER_FRAME + sym
                 spec = np.zeros(TU, np.complex128)
@@ -395,8 +561,7 @@ class DrmRx:
         return fac_cells_decode(np.asarray(cells))
 
     def _demod_super(self, bb, start, cfo):
-        sdc_cells, facs = [], []
-        msc_by_frame = [[] for _ in range(FRAMES_PER_SUPER)]
+        sdc_cells, facs, msc_all = [], [], []
         for f in range(FRAMES_PER_SUPER):
             s0 = start + f * SYMS_PER_FRAME * TS
             fac = self._try_fac(bb, s0, cfo)
@@ -412,21 +577,37 @@ class DrmRx:
                 for k in data_cells(sym, f, want_sdc=True):
                     sdc_cells.append(spec[k % TU] / hmap[int(k)])
                 for k in data_cells(sym, f, want_sdc=False):
-                    msc_by_frame[f].append(spec[k % TU] / hmap[int(k)])
+                    msc_all.append(spec[k % TU] / hmap[int(k)])
         out = [("drm_fac", facs[0])]
-        sdc = self._frame_payload(SDC_MLC.decode(np.asarray(sdc_cells)))
-        if sdc is not None:
-            out.append(("drm_sdc", sdc))
+        info = sdc_parse(SDC_MLC.decode(np.asarray(sdc_cells)))
+        stream_len = None
+        if info is not None:
+            out.append(("drm_sdc_info", info))
+            if info.get("label") is not None:
+                out.append(("drm_sdc", info["label"]))
+            if info.get("streams"):
+                stream_len = sum(info["streams"][0])
         msc_mlc = (MSC_MLC_16 if facs[0]["msc_qam"] == 16
                    else MSC_MLC_64)
+        # continuous MSC stream: 3 multiplex frames of N_MUX cells,
+        # dummy cells at the superframe end dropped; each frame
+        # cell-DEinterleaved (ETSI 7.6 short) before MLC decoding
+        cells = np.asarray(msc_all)[:FRAMES_PER_SUPER * N_MUX]
         seen = set()
         for f in range(FRAMES_PER_SUPER):
-            bits = msc_mlc[f].decode(np.asarray(msc_by_frame[f]))
+            chunk = cells[f * N_MUX:(f + 1) * N_MUX]
+            deint = np.empty_like(chunk)
+            deint[_MSC_CELL_PERM] = chunk
+            bits = msc_mlc.decode(deint)
             if self.msc_audio:
                 from . import drm_audio
                 data = np.packbits(
                     bits[:len(bits) - len(bits) % 8]).tobytes()
-                frames = drm_audio.parse_super_frame(data)
+                if stream_len:
+                    data = data[:stream_len]
+                n_au = audio_frames_per_super(
+                    info.get("audio") if info else None)
+                frames = drm_audio.parse_super_frame(data, n_au)
                 if frames is not None:
                     for au, ok in frames:
                         if ok and au:
