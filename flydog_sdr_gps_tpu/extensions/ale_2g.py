@@ -27,37 +27,47 @@ import numpy as np
 
 from . import Extension, ext_register
 
-TONES_HZ = np.arange(750.0, 2500.0 + 1, 250.0)       # tribit 0..7
+TONES_HZ = np.arange(750.0, 2500.0 + 1, 250.0)       # ascending tones
 BAUD = 125.0
 PREAMBLES = ["DATA", "THRU", "TO", "TWAS", "FROM", "TIS", "CMD", "REP"]
 
+# MIL-STD-188-141 A.5.1.2 tone->tribit GRAY mapping: ascending tones
+# 750..2500 Hz carry values 0,1,3,2,6,7,5,4 ("1750 Hz = 3'b110 = 6";
+# the reference decoder's `decode_ff.h:116` g_symbol_lookup rows).
+# The repo's pre-oracle code mapped tone k -> k directly — one of the
+# three mirror bugs the off-air captures exposed.
+TONE_TRIBIT = np.array([0, 1, 3, 2, 6, 7, 5, 4])
+_TONE_OF_TRIBIT = np.argsort(TONE_TRIBIT)            # value -> tone idx
+
 # ---------------------------------------------------------------------------
-# Golay (24,12) — extended binary Golay code.
-# Generator: G = [I | B] with B the standard bordered-quadratic-residue
-# matrix (rows below, MSB-first).  Decode = min-Hamming-distance against
-# all 4096 codewords (vectorized table lookup; corrects <=3 errors).
+# Golay (24,12) — the MIL-STD-188-141 arrangement: the (23,12) cyclic
+# Golay with generator g(x) = x^11+x^9+x^7+x^6+x^5+x+1 (0xAE3), parity
+# in bits 11..1, plus an overall even-parity bit in bit 0 (verified
+# entry-for-entry against the reference decoder's 4096-word
+# `decode_ff.h` encode_table by tests/test_ale_offair.py).  Decode =
+# min-Hamming-distance against all 4096 codewords (corrects <=3
+# errors).
 # ---------------------------------------------------------------------------
-_B_ROWS = [0b110111000101,
-           0b101110001011,
-           0b011100010111,
-           0b111000101101,
-           0b110001011011,
-           0b100010110111,
-           0b000101101111,
-           0b001011011101,
-           0b010110111001,
-           0b101101110001,
-           0b011011100011,
-           0b111111111110]
+_GOLAY_G = 0xAE3
+
+
+def _cyc11(data: int) -> int:
+    """(data(x) * x^11) mod g(x) — 11 parity bits."""
+    r = data << 11
+    for i in range(22, 10, -1):
+        if r & (1 << i):
+            r ^= _GOLAY_G << (i - 11)
+    return r & 0x7FF
 
 
 def _build_codebook() -> np.ndarray:
-    data = np.arange(4096, dtype=np.uint32)
-    par = np.zeros(4096, np.uint32)
-    for i, row in enumerate(_B_ROWS):
-        bit = (data >> (11 - i)) & 1
-        par ^= np.where(bit, row, 0).astype(np.uint32)
-    return (data << 12) | par            # 24-bit codewords
+    out = np.zeros(4096, np.uint32)
+    for data in range(4096):
+        p11 = _cyc11(data)
+        w = (data << 12) | (p11 << 1)
+        w |= bin(w).count("1") & 1       # even overall parity
+        out[data] = w
+    return out
 
 
 _CODEBOOK = _build_codebook()
@@ -99,38 +109,43 @@ def word_unpack(word24: int) -> tuple[str, str]:
 
 
 def frame_bits(word24: int) -> np.ndarray:
-    """24-bit word -> 49-bit FEC frame (two Golay halves, second
-    parity-inverted, + stuff bit 0)."""
+    """24-bit word -> 49-bit FEC frame: the two Golay codewords are
+    BIT-INTERLEAVED a0,b0,a1,b1,... (the reference de-interleaves
+    even/odd voted bits, `decode_ff_impl.cpp:240-246`), second half's
+    parity inverted, + stuff bit 0."""
     a = golay_encode((word24 >> 12) & 0xFFF)
     b = golay_encode(word24 & 0xFFF) ^ 0xFFF     # invert parity half
-    bits = [(a >> (23 - i)) & 1 for i in range(24)]
-    bits += [(b >> (23 - i)) & 1 for i in range(24)]
-    bits.append(0)
-    return np.array(bits, np.uint8)
+    bits = np.zeros(49, np.uint8)
+    for i in range(24):
+        bits[2 * i] = (a >> (23 - i)) & 1
+        bits[2 * i + 1] = (b >> (23 - i)) & 1
+    return bits
 
 
 def frame_decode(bits49: np.ndarray) -> tuple[int, int] | None:
-    """49 majority-voted bits -> (word24, total_errors) or None."""
-    a = 0
+    """49 majority-voted bits -> (word24, max_half_errors) or None
+    (the reference gates initial word sync on
+    max(error_a, error_b) <= SYNC_ERROR_THRESHOLD)."""
+    a = b = 0
     for i in range(24):
-        a = (a << 1) | int(bits49[i])
-    b = 0
-    for i in range(24, 48):
-        b = (b << 1) | int(bits49[i])
+        a = (a << 1) | int(bits49[2 * i])
+        b = (b << 1) | int(bits49[2 * i + 1])
     b ^= 0xFFF
     da, ea = golay_decode(a)
     db, eb = golay_decode(b)
     if ea > 3 or eb > 3:
         return None
-    return (da << 12) | db, ea + eb
+    return (da << 12) | db, max(ea, eb)
 
 
 def word_symbols(word24: int) -> np.ndarray:
-    """49 tribit symbols of the triple-redundant 147-bit stream."""
+    """49 TONE INDICES of the triple-redundant 147-bit stream (tribit
+    values Gray-mapped to tones per A.5.1.2)."""
     f = frame_bits(word24)
     stream = np.concatenate([f, f, f])           # bit i at i, i+49, i+98
     tri = stream[:147].reshape(49, 3)
-    return (tri[:, 0] * 4 + tri[:, 1] * 2 + tri[:, 2]).astype(np.int64)
+    vals = (tri[:, 0] * 4 + tri[:, 1] * 2 + tri[:, 2]).astype(np.int64)
+    return _TONE_OF_TRIBIT[vals]
 
 
 def modulate(words: list[tuple[str, str]], fs: float = 12000.0,
@@ -217,29 +232,32 @@ class AleDecoder:
             win = self._pows[lo:lo + need]
             # symbol power = sum of its two half windows
             ps = np.stack([a + b for a, b in zip(win[0::2], win[1::2])])
-            syms = np.argmax(ps, axis=1)
+            tones = np.argmax(ps, axis=1)
             # SNR gate: best tone must dominate
             tot = ps.sum(axis=1)
-            dom = ps[np.arange(49), syms] / np.maximum(tot, 1e-12)
-            if dom.mean() < 0.45:
+            dom = ps[np.arange(49), tones] / np.maximum(tot, 1e-12)
+            if dom.mean() < 0.30:
                 continue
+            syms = TONE_TRIBIT[tones]             # Gray de-map
             stream = np.zeros(147, np.uint8)
             stream[0::3] = (syms >> 2) & 1
             stream[1::3] = (syms >> 1) & 1
             stream[2::3] = syms & 1
             votes = (stream[:49].astype(int) + stream[49:98]
                      + stream[98:147])
-            # at a true alignment the 3 redundant copies agree; a wrong
-            # alignment looks random (Golay alone false-accepts ~30%)
-            unanimity = float(np.mean((votes == 0) | (votes == 3)))
-            if unanimity < 0.80:
+            # 2/3 majority vote; gate on disagreeing triples like the
+            # reference (BAD_VOTE_THRESHOLD 25 of 48,
+            # `decode_ff_impl.h:62`)
+            bad = int(np.sum((votes == 1) | (votes == 2)))
+            if bad > 25:
                 continue
             bits = (votes >= 2).astype(np.uint8)
             r = frame_decode(bits)
             if r is None:
                 continue
             word24, nerr = r
-            if nerr > 3:
+            # initial-sync grade: SYNC_ERROR_THRESHOLD=1 per half
+            if nerr > 1:
                 continue
             pre, chars = word_unpack(word24)
             if any(not (c.isalnum() or c in "@?") for c in chars):

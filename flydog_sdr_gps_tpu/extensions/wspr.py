@@ -227,8 +227,36 @@ class WsprExt(Extension):
         self._frontend = _make_frontend()
         self.capture_samples = int(CAPTURE_S * FS_AUDIO)
         self.results = []
+        # capture-cycle alignment (the reference starts WSPR captures
+        # at even UTC minutes, `extensions/wspr/wspr_main.cpp`; the
+        # framework's timebase is stream time): wait for the start of
+        # a 120 s cycle before capturing, so a transmission that
+        # begins on-cycle lands whole inside the 114 s window.  A
+        # scene source exposes its true cycle via fsk_cycle_pos_s.
+        self.align = bool(params.get("align", True))
+        self._waiting = self.align
+
+    def _cycle_pos(self) -> tuple[float, float]:
+        src = getattr(self.engine, "source", None)
+        fn = getattr(src, "fsk_cycle_pos_s", None)
+        if fn is not None and getattr(src, "_fsk", None):
+            return fn()
+        ticks = getattr(self.engine, "block_ticks", 0)
+        clk = getattr(getattr(self.engine, "params", None),
+                      "adc_clock", None)
+        if clk is None:
+            return 0.0, 120.0           # fake engine: capture now
+        return (ticks / clk) % 120.0, 120.0
 
     def process_block(self, taps) -> list:
+        if self._waiting:
+            pos, _cyc = self._cycle_pos()
+            p = self.engine.params
+            block_s = (getattr(p, "audio_block", 128)
+                       / getattr(p, "fs_out", FS_AUDIO))
+            if pos > 2.0 * block_s:
+                return []               # mid-cycle: keep waiting
+            self._waiting = False
         a = taps.audio[:, self.rx_chan]
         self._audio.append(a)
         self._samples += a.shape[0]
@@ -236,6 +264,7 @@ class WsprExt(Extension):
             return []
         audio = jnp.concatenate(self._audio)[:self.capture_samples]
         self._audio, self._samples = [], 0
+        self._waiting = self.align      # re-align for the next cycle
         power, bre, bim = self._frontend(audio)
         power = np.asarray(power)
         z375 = np.asarray(bre) + 1j * np.asarray(bim)

@@ -111,11 +111,24 @@ class DeviceSceneSource:
     host only passes the 48-bit block start tick (as limbs), so no
     sample data ever crosses the host-device link.
 
-    Tones are ``(freq_hz, amplitude)`` carriers or
+    Tones are ``(freq_hz, amplitude)`` carriers,
     ``(freq_hz, amplitude, ("am", mod_freq_hz, depth))`` AM broadcast
-    signals; the modulating sinusoid is a second exact-integer NCO so
-    the scene stays phase-continuous forever (no float time variable
-    that loses precision as ticks grow).
+    signals, or ``(freq_hz, amplitude, ("fsk", baud_audio_frac,
+    tone_spacing_hz, symbols, cycle_syms))`` M-FSK transmissions (the
+    modulating sinusoid / symbol clock are exact-integer NCOs so the
+    scene stays phase-continuous forever — no float time variable that
+    loses precision as ticks grow).
+
+    FSK semantics (for decoder soak scenes, e.g. WSPR —
+    ``baud_audio_frac`` = audio samples per symbol at the 12 kHz
+    channel rate, 8192 for WSPR): the transmission repeats every
+    ``cycle_syms`` symbol periods; symbols beyond ``len(symbols)``
+    are idle (carrier off), so a WSPR cycle of 162 tx + N idle
+    symbols mimics the even-minute transmission cadence.  Tone n sits
+    at ``freq_hz + (symbols[n] - (M-1)/2) * tone_spacing_hz``.
+    Symbol boundaries land mid-block at their exact sample (at most
+    one per block: one symbol period is >= 85M ADC ticks, far longer
+    than any block).
     """
 
     def __init__(self, tones=(), noise_rms: float = 0.0,
@@ -124,6 +137,7 @@ class DeviceSceneSource:
         import jax
         import jax.numpy as jnp
         from ..ops import nco
+        from ..numerology import RX_DECIM_12K
 
         self.adc_clock = adc_clock
         self.block = block
@@ -135,23 +149,44 @@ class DeviceSceneSource:
         self._fcw_ints = []     # carrier fcw, then each AM mod fcw
         amps = []
         mods = []               # per tone: None or (mod_index, depth)
+        self._fsk = []          # FSK transmitter states
         for tone in tones:
             f, a = tone[0], tone[1]
+            if len(tone) > 2 and tone[2] is not None and \
+                    tone[2][0] == "fsk":
+                _kind, baud_frac, df, syms, cycle_syms = tone[2]
+                m = int(max(syms)) + 1
+                sym_ticks = int(baud_frac) * RX_DECIM_12K
+                self._fsk.append(dict(
+                    f0=f, amp=float(a), df=float(df),
+                    syms=[int(s) for s in syms], m=m,
+                    cycle=int(cycle_syms), sym_ticks=sym_ticks,
+                    fcws=[nco.freq_to_fcw(
+                        f + (s - (m - 1) / 2.0) * df, adc_clock)
+                        for s in range(m)],
+                    phi=0))
+                continue
             self._fcw_ints.append(nco.freq_to_fcw(f, adc_clock))
             amps.append(a)
             mods.append(None)
+        ci = 0
         for ti, tone in enumerate(tones):
+            if len(tone) > 2 and tone[2] is not None and \
+                    tone[2][0] == "fsk":
+                continue
             if len(tone) > 2 and tone[2] is not None:
                 kind, mf, depth = tone[2]
                 assert kind == "am"
-                mods[ti] = (len(self._fcw_ints), float(depth))
+                mods[ci] = (len(self._fcw_ints), float(depth))
                 self._fcw_ints.append(nco.freq_to_fcw(mf, adc_clock))
+            ci += 1
         fcws = [nco.to_limbs([w])[0] for w in self._fcw_ints]
+        n_fsk = len(self._fsk)
         self._noise = noise_rms
         self._phi_ints = [0 for _ in self._fcw_ints]
         self._key = 0
 
-        def make(phis, key):
+        def make(phis, key, fsk_args):
             x = jnp.zeros((block,), jnp.float32)
             two_pi = jnp.float32(2 * np.pi)
             for i, amp in enumerate(amps):
@@ -163,6 +198,20 @@ class DeviceSceneSource:
                     carrier = carrier * (1.0 + jnp.float32(depth)
                                          * jnp.sin(two_pi * mph))
                 x = x + jnp.float32(amp) * carrier
+            # FSK tones: two phase ramps (before/after the symbol
+            # boundary at sample ``brk``) selected per sample — the
+            # boundary phase carry keeps the waveform continuous
+            for j in range(n_fsk):
+                (phi0, phi_brk, fcw_a, fcw_b, brk, amp_a,
+                 amp_b) = fsk_args[j]
+                ramp_a = nco.phase_ramp_long(phi0, fcw_a, block)
+                ramp_b = nco.phase_ramp_long(phi_brk, fcw_b, block)
+                n_idx = jnp.arange(block)
+                off = jnp.clip(n_idx - brk, 0, block - 1)
+                ph = jnp.where(n_idx < brk, ramp_a,
+                               jnp.take(ramp_b, off))
+                ampv = jnp.where(n_idx < brk, amp_a, amp_b)
+                x = x + ampv * jnp.cos(two_pi * ph)
             if noise_rms:
                 k = jax.random.PRNGKey(key)
                 x = x + noise_rms * jax.random.normal(k, (block,))
@@ -170,12 +219,52 @@ class DeviceSceneSource:
 
         self._make = jax.jit(make)
 
+    def _fsk_block_args(self, st: dict) -> tuple:
+        """Host-side FSK symbol clock for one block: boundary sample,
+        before/after tone words and amplitudes, exact phase carries."""
+        nco = self._nco
+        t0 = self.ticks
+        sym_ticks, cycle = st["sym_ticks"], st["cycle"]
+        n_tx = len(st["syms"])
+
+        def sym_of(tick):
+            s = (tick // sym_ticks) % cycle
+            return st["syms"][s] if s < n_tx else None
+        s_a = sym_of(t0)
+        b = ((t0 // sym_ticks) + 1) * sym_ticks    # next boundary
+        brk = b - t0 if b - t0 < self.block else self.block
+        s_b = sym_of(b) if brk < self.block else s_a
+        fcw_a = st["fcws"][s_a if s_a is not None else 0]
+        fcw_b = st["fcws"][s_b if s_b is not None else 0]
+        phi0 = st["phi"]
+        phi_brk = (phi0 + fcw_a * brk) % (1 << 48)
+        st["phi"] = (phi_brk + fcw_b * (self.block - brk)) % (1 << 48)
+        import jax.numpy as jnp
+        return (jnp.asarray(nco.to_limbs([phi0])[0]),
+                jnp.asarray(nco.to_limbs([phi_brk])[0]),
+                jnp.asarray(nco.to_limbs([fcw_a])[0]),
+                jnp.asarray(nco.to_limbs([fcw_b])[0]),
+                jnp.int32(brk),
+                jnp.float32(st["amp"] if s_a is not None else 0.0),
+                jnp.float32(st["amp"] if s_b is not None else 0.0))
+
+    def fsk_cycle_pos_s(self, idx: int = 0) -> tuple[float, float]:
+        """(seconds into the FSK cycle, cycle length in seconds) at
+        the CURRENT tick — lets a decoder align its capture to the
+        transmission cadence (the reference aligns WSPR/FT8 captures
+        to even UTC minutes; stream time is this framework's
+        timebase)."""
+        st = self._fsk[idx]
+        cyc = st["sym_ticks"] * st["cycle"]
+        return (self.ticks % cyc) / self.adc_clock, cyc / self.adc_clock
+
     def next_block(self, n: int | None = None):
         import jax.numpy as jnp  # noqa: F401
         assert n is None or n == self.block
         phis = [jnp.asarray(self._nco.to_limbs([p])[0])
                 for p in self._phi_ints]
-        x = self._make(phis, self._key)
+        fsk_args = tuple(self._fsk_block_args(st) for st in self._fsk)
+        x = self._make(phis, self._key, fsk_args)
         self._key += 1
         for i, fcw in enumerate(self._fcw_ints):
             self._phi_ints[i] = (self._phi_ints[i]

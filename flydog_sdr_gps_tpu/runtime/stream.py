@@ -163,9 +163,15 @@ class StreamEngine:
         The serving loop used to dispatch 3 programs per block (step,
         peak, gather); over the high-latency axon tunnel every extra
         dispatch is round-trip exposure and the tunnel degrades under
-        chatty workloads (see .claude/skills/verify).  Returns
-        ``(audio_cols, audio2_cols, iq_re_cols, iq_im_cols,
-        smeter_dbm, peak)`` device handles; one jit per bucket size.
+        chatty workloads (see .claude/skills/verify).  Returns ONE
+        flat f32 device array — ``[audio rows | audio2 rows | iq_re
+        rows | iq_im rows | smeter(C) | peak]`` with each tap's
+        subscriber columns transposed to (bucket, block) row-major —
+        so the host fetch is a single round trip (fetching a 6-array
+        tuple paid the tunnel latency per array: ~25-50 ms x 6
+        dominated the serve block at high listener counts) and each
+        channel's audio is contiguous for the batched ADPCM encode.
+        One jit per bucket size.
         """
         params = self.params
         gstep = self._gstep_for(len(idx))
@@ -190,11 +196,14 @@ class StreamEngine:
         if bucket not in self._gstep_cache:
             def gstep(s, t, x, i):
                 s2, taps = rx.rx_block(params, s, t, x)
-                cols = tuple(jnp.take(a, i, axis=1) for a in (
-                    taps.audio, taps.audio2, taps.iq_post_agc.re,
-                    taps.iq_post_agc.im))
-                return s2, cols + (taps.smeter_dbm,
-                                   jnp.max(jnp.abs(x)))
+                cols = [jnp.take(a, i, axis=1).T.reshape(-1)
+                        for a in (taps.audio, taps.audio2,
+                                  taps.iq_post_agc.re,
+                                  taps.iq_post_agc.im)]
+                packed = jnp.concatenate(
+                    cols + [taps.smeter_dbm,
+                            jnp.max(jnp.abs(x)).reshape(1)])
+                return s2, packed
             self._gstep_cache[bucket] = jax.jit(gstep)
         return self._gstep_cache[bucket]
 

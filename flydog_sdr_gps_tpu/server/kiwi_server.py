@@ -46,22 +46,24 @@ from . import wf_service
 
 
 class _Cols:
-    """(block, K) host array addressed as [:, absolute_channel].
+    """(bucket, block) row-major host array addressed as
+    [sl, absolute_channel] like the device RxTaps' (block, C) taps.
 
     The block loop gathers ONLY the subscribed channels' columns
     on-device before the host fetch (C=4096 full-audio fetch is
-    ~32 MB/block over the ~1.4 GB/s axon tunnel — the serving wall);
-    this adapter lets per-channel consumers (extensions, autorun)
-    keep indexing by absolute channel number.
+    ~32 MB/block over the ~1.4 GB/s axon tunnel — the serving wall),
+    transposed so each channel is one contiguous row; this adapter
+    lets per-channel consumers (extensions, autorun) keep indexing by
+    absolute channel number.
     """
 
-    def __init__(self, arr: np.ndarray, chmap: dict[int, int]):
-        self._arr = arr
+    def __init__(self, rows: np.ndarray, chmap: dict[int, int]):
+        self._rows = rows
         self._chmap = chmap
 
     def __getitem__(self, key):
         sl, ch = key
-        return self._arr[sl, self._chmap[int(ch)]]
+        return self._rows[self._chmap[int(ch)]][sl]
 
 
 class _CplxCols:
@@ -73,7 +75,8 @@ class _CplxCols:
 
 class HostTaps:
     """Host-side view of one block's taps for the subscribed channels
-    (same attribute surface extensions use on the device RxTaps)."""
+    (same attribute surface extensions use on the device RxTaps).
+    All arrays are (bucket, block) channel-row-major."""
 
     def __init__(self, audio, audio2, iq_re, iq_im, smeter,
                  chmap: dict[int, int]):
@@ -763,6 +766,10 @@ class KiwiServer:
         # mid-flight on a compile.
         self._warm_buckets: set[int] = set()
         self._bucket_compiling: int | None = None
+        # blocks in flight (dispatch N while block N-depth+1 fans
+        # out); depth 2 hides the tunnel fetch latency behind the
+        # next block's device compute at a 2-block audio latency
+        self.pipeline_depth = 2
         # background decoders on idle channels (rx_util.cpp arun_*)
         from . import autorun as autorun_mod
         self.autorun = (autorun_mod.AutorunManager(self, autorun)
@@ -1440,12 +1447,13 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         one-block latency cost (the reference buffers the same way in
         its N_DPBUF=32 audio ring, `rx/data_pump.h:36`)."""
         import os
+        import jax
         import jax.numpy as jnp
         loop = asyncio.get_running_loop()
         block_period = (self.engine.params.ddc.adc_block /
                         self.engine.params.adc_clock)
         next_t = time.monotonic()
-        pending = None          # (fetch handles, subs) of block N-1
+        pending = []            # in-flight (fetch future, subs)
         prof = os.environ.get("KIWI_BLOCK_PROF") == "1"
         t_stage = [0.0] * 4     # dispatch, gather, process, total
         n_prof = 0
@@ -1513,9 +1521,18 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 await loop.run_in_executor(
                     None, self.wf.ingest, self.engine._last_x)
             t2 = time.monotonic()
-            if pending is not None:
-                await self._process_fetched(loop, *pending)
-            pending = (fetch, subs)
+            # start the host fetch NOW (executor thread), so the
+            # tunnel round trip + transfer overlap the next block's
+            # dispatch and device compute; fan out the OLDEST pending
+            # block once the pipeline is full.  Depth 2 keeps one
+            # block of compute and one block of transfer in flight
+            # (the reference rides a 32-deep audio ring,
+            # `rx/data_pump.h:36`; latency here = depth x block).
+            fut = loop.run_in_executor(
+                None, self._device_get or jax.device_get, fetch)
+            pending.append((fut, subs))
+            if len(pending) >= self.pipeline_depth:
+                await self._process_fetched(loop, *pending.pop(0))
             if prof:
                 t3 = time.monotonic()
                 t_stage[0] += t1 - t0
@@ -1524,10 +1541,14 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 t_stage[3] += t3 - t0
                 n_prof += 1
                 if n_prof % 8 == 0:
+                    # per-WINDOW averages (reset each report) so the
+                    # steady-state split isn't drowned by the first
+                    # blocks' compile transients
                     lprintf("blockprof n=%d dispatch=%.0fms "
                             "gather+wf=%.0fms process=%.0fms "
                             "total=%.0fms", n_prof,
-                            *(s / n_prof * 1e3 for s in t_stage))
+                            *(s / 8 * 1e3 for s in t_stage))
+                    t_stage = [0.0] * 4
             if self.realtime:
                 next_t += block_period
                 delay = next_t - time.monotonic()
@@ -1543,21 +1564,22 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         """One encode per (format, channel, endian) group — runs in
         the executor, off the event loop.  All ADPCM channels are
         encoded in ONE native batch call (`adpcm_encode_batch`); the
-        s16 conversion is one vectorized pass.  Per-listener cost is
-        reduced to header framing + queue append."""
+        s16 conversion is one vectorized pass over contiguous channel
+        rows.  Per-listener cost is reduced to header framing + queue
+        append.  Tap arrays are (bucket, block) channel-row-major."""
         payloads: dict[tuple, bytes] = {}
         adpcm_keys = sorted(k for k in keys if k[0] == "adpcm")
         if adpcm_keys:
             chs = [k[1] for k in adpcm_keys]
-            cols = [chmap[ch] for ch in chs]
+            rows = [chmap[ch] for ch in chs]
             s16 = np.clip(
-                audio[:, cols].T * 32767.0, -32768, 32767
+                audio[rows] * 32767.0, -32768, 32767
             ).astype(np.int16)
             states = np.empty((len(chs), 2), np.int32)
             for i, ch in enumerate(chs):
                 states[i] = self._chan_codec.setdefault(
                     ch, np.zeros(2, np.int32))
-            enc = adpcm.encode_batch(np.ascontiguousarray(s16), states)
+            enc = adpcm.encode_batch(s16, states)
             for i, (k_, ch) in enumerate(zip(adpcm_keys, chs)):
                 self._chan_codec[ch][...] = states[i]
                 payloads[k_] = enc[i].tobytes()
@@ -1565,26 +1587,23 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
             kind, ch, le = k_
             if kind == "adpcm":
                 continue
-            col = chmap[ch]
+            row = chmap[ch]
             if kind == "s16":
                 payloads[k_] = packets.audio_payload_s16(
-                    audio[:, col], le)
+                    audio[row], le)
             elif kind == "iq":
                 payloads[k_] = packets.iq_payload_s16(
-                    iq_re[:, col], iq_im[:, col], le)
+                    iq_re[row], iq_im[row], le)
             elif kind == "stereo":
                 # SAS stereo rides the IQ wire format: L/R interleaved
                 # s16 (`rx/rx_sound.cpp:1047`)
                 payloads[k_] = packets.iq_payload_s16(
-                    audio[:, col], audio2[:, col], le)
+                    audio[row], audio2[row], le)
         return payloads
 
-    async def _process_fetched(self, loop, fetch, subs) -> None:
-        """Fetch one dispatched block's host copies and fan out."""
-        import jax
+    async def _process_fetched(self, loop, fut, subs) -> None:
+        """Await one block's (already launched) host fetch; fan out."""
         t0 = time.monotonic()
-        fut = loop.run_in_executor(
-            None, self._device_get or jax.device_get, fetch)
         # watchdog: a wedged device runtime can hang a fetch
         # indefinitely (observed on the tunneled backend).  Recovery
         # ladder, mirroring the reference's escalation (data-pump
@@ -1626,23 +1645,40 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                     self._restart_event.set()
                     raise RuntimeError(
                         "device runtime wedged; restart requested")
-        smeter = got[-2]
+        params = self.engine.params
+        if isinstance(got, np.ndarray) and got.ndim == 1:
+            # packed fused-gather buffer (ONE fetch round trip):
+            # [4 x (bucket, block) channel rows | smeter(C) | peak]
+            C = params.num_channels
+            block = params.audio_block
+            bucket = (len(got) - C - 1) // (4 * block)
+            nb = bucket * block
+            taps_rows = [got[k * nb:(k + 1) * nb].reshape(
+                bucket, block) for k in range(4)]
+            smeter = got[4 * nb:4 * nb + C]
+            peak = got[-1]
+        else:
+            # non-fused fallback: (block, K) column arrays
+            taps_rows = [np.asarray(a).T for a in got[:-2]]
+            smeter = np.asarray(got[-2])
+            peak = got[-1]
         self._last_smeter = smeter      # /s-meter AJAX endpoint
         # ADC overflow: input at/over full scale (the reference
         # latches the FPGA ADC_OVFL line into the SND header and
         # /status, rx/rx_util.cpp)
-        adc_ovfl = bool(got[-1] >= 0.99)
+        adc_ovfl = bool(peak >= 0.99)
         if adc_ovfl:
             self.adc_ov_count += 1
         chmap = {ch: i for i, ch in enumerate(subs)}
-        if subs:
+        if subs and taps_rows:
             # NaN-poison auto-reset (data-pump reset analogue): the
             # fused serve path bypasses run_block's periodic check,
             # so audit the fetched host copies instead
-            if not np.all(np.isfinite(got[0])):
+            if not np.all(np.isfinite(taps_rows[0])):
                 lprintf("non-finite audio — streaming state reset")
                 self.engine.reset_streaming_state()
-            host_taps = HostTaps(got[0], got[1], got[2], got[3],
+            host_taps = HostTaps(taps_rows[0], taps_rows[1],
+                                 taps_rows[2], taps_rows[3],
                                  smeter, chmap)
             audio_np = host_taps.audio
         else:
@@ -1662,8 +1698,8 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         payloads: dict[tuple, bytes] = {}
         if keys:
             payloads = await loop.run_in_executor(
-                None, self._encode_payloads, got[0], got[1], got[2],
-                got[3], chmap, keys)
+                None, self._encode_payloads, taps_rows[0],
+                taps_rows[1], taps_rows[2], taps_rows[3], chmap, keys)
         iq_hdr = None
         if any(k[0] == "iq" for k in keys):
             _ticks, secs = self.engine.gps_timestamp()

