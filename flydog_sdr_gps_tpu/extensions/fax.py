@@ -55,15 +55,45 @@ class FaxExt(Extension):
             line, audio = (audio[:self.line_samples],
                            audio[self.line_samples:])
             inst = self._freq_track(line)
+            # start-tone detection (WEFAX: the subcarrier alternates
+            # black/white at 300 Hz for IOC 576, 675 Hz for IOC 288,
+            # for ~5 s before the phasing lines): count luminance
+            # alternations per second
+            sm = np.convolve(inst, np.ones(5) / 5, "same")
+            sgn = sm > 0.5 * (self.f_black + self.f_white)
+            alt = int(np.sum(sgn[1:] != sgn[:-1])) * self.lpm / 60.0 \
+                / 2.0
+            if 250.0 <= alt <= 350.0 or 600.0 <= alt <= 750.0:
+                ioc = 576 if alt < 500 else 288
+                self._phase_off = None     # re-phase after start tone
+                out.append(("fax_status",
+                            f"start_tone ioc={ioc}".encode()))
+                self.lines += 1
+                continue
             # map frequency -> luminance 0..255
             lum = np.clip((inst - self.f_black)
                           / (self.f_white - self.f_black), 0, 1)
             # phasing: align on the white sync pulse (start of line)
             if self._phase_off is None:
-                # sync pulse = ~5% white burst in a black bar
+                # sync pulse = ~5% white burst in a black bar; the
+                # pulse may straddle the arbitrary line-slice
+                # boundary, so smooth CIRCULARLY (a linear convolve
+                # mis-centers a wrapped pulse by up to half its width)
                 k = max(8, self.line_samples // 64)
-                smoothed = np.convolve(lum, np.ones(k) / k, "same")
-                self._phase_off = int(np.argmax(smoothed))
+                ker = np.zeros(len(lum))
+                ker[:k // 2] = 1.0 / k
+                ker[-(k - k // 2):] = 1.0 / k
+                smoothed = np.real(np.fft.ifft(
+                    np.fft.fft(lum) * np.fft.fft(ker)))
+                # the pulse gives a flat-topped maximum: take the
+                # CIRCULAR centroid of the near-max region (argmax
+                # alone lands anywhere on the plateau)
+                w = smoothed >= 0.9 * smoothed.max()
+                ang = 2 * np.pi * np.arange(len(lum)) / len(lum)
+                c = np.sum(w * np.exp(1j * ang))
+                self._phase_off = int(round(
+                    (np.angle(c) % (2 * np.pi)) / (2 * np.pi)
+                    * len(lum))) % len(lum)
             lum = np.roll(lum, -self._phase_off)
             # decimate to px_per_line pixels (mean pooling)
             n = (len(lum) // self.px_per_line) * self.px_per_line

@@ -46,9 +46,9 @@ def weight(v: int) -> int:
     return bin(v & 0x7F).count("1")
 
 
-def encode_text(text: str) -> list[int]:
-    """Text -> CCIR476 code stream (test fixture generator)."""
-    out = [ALF, ALF, LTR]
+def encode_chars(text: str) -> list[int]:
+    """Text -> CCIR476 character codes (shift codes inserted)."""
+    out = [LTR]
     figs = False
     for ch in text.upper():
         if ch in LTRS_CODE:
@@ -61,6 +61,28 @@ def encode_text(text: str) -> list[int]:
                 out.append(FGS)
                 figs = True
             out.append(FIGS_CODE[ch])
+    return out
+
+
+def encode_text(text: str, phasing: int = 8) -> list[int]:
+    """Text -> the TRUE SITOR-B transmission stream (ITU-R M.476
+    mode B): alternating REP/ALPHA phasing pairs, then alternating
+    DX/RX slots — the DX (rep-phase) character repeats in the RX
+    (alpha-phase) slot two pairs (280 ms) later, the time diversity
+    the FEC votes across (`web/extensions/FSK/CCIR476.js:149-221`).
+
+    The pre-oracle encoder emitted each character once with no
+    phase structure — the loopback mirror bug the spec-built vector
+    test caught (the old decoder printed every character twice on a
+    true stream)."""
+    chars = encode_chars(text)
+    out = []
+    for _ in range(phasing):
+        out += [REP, ALF]
+    n = len(chars)
+    for k in range(n + 2):
+        out.append(chars[k] if k < n else REP)            # DX slot
+        out.append(chars[k - 2] if k >= 2 else ALF)       # RX slot
     return out
 
 
@@ -79,6 +101,11 @@ class NavtexExt(Extension):
         self._synced = False
         self._carry = np.zeros(0, np.float64)
         self.text = ""
+        # SITOR-B rep/alpha FEC state (CCIR476.js:149-221): 3-deep
+        # DX fifo; the alpha-slot copy votes against the rep copy
+        self._alpha_phase = False
+        self._fifo = [ALF, ALF, ALF]
+        self._bad_run = 0
 
     def process_block(self, taps) -> list:
         audio = np.concatenate([
@@ -122,9 +149,6 @@ class NavtexExt(Extension):
                     continue
             code = self._code_at(0)
             del self._bits[:7]
-            if weight(code) != 4:
-                self._synced = False
-                continue
             self._char(code)
 
     def _code_at(self, off: int) -> int:
@@ -134,6 +158,34 @@ class NavtexExt(Extension):
         return v
 
     def _char(self, code: int) -> None:
+        """Phase-tracked SITOR-B FEC: rep-slot characters enter the
+        DX fifo; each alpha-slot character votes against its DX copy
+        from two pairs earlier, and exactly ONE character is emitted
+        per DX/RX pair (`CCIR476.js` process_char)."""
+        ok = weight(code) == 4
+        # the phasing characters force slot alignment
+        if code == REP:
+            self._alpha_phase = False
+        elif code == ALF:
+            self._alpha_phase = True
+        if not self._alpha_phase:
+            self._fifo = [self._fifo[1], self._fifo[2], code]
+        else:
+            c1 = self._fifo[0]
+            chr_code = (code if ok
+                        else (c1 if weight(c1) == 4 else None))
+            if chr_code is None:
+                self._bad_run += 1
+                if self._bad_run >= 4:
+                    self._synced = False    # slipped: re-phase
+                    self._bad_run = 0
+                self.text += "*"
+            else:
+                self._bad_run = 0
+                self._emit(chr_code)
+        self._alpha_phase = not self._alpha_phase
+
+    def _emit(self, code: int) -> None:
         if code in (ALF, BET, REP, C32):
             return
         if code == LTR:
@@ -144,5 +196,3 @@ class NavtexExt(Extension):
             self.text += CODE_FIGS[code]
         elif code in CODE_LTRS:
             self.text += CODE_LTRS[code]
-        else:
-            self.text += "*"          # weight-4 but unassigned

@@ -82,6 +82,48 @@ def encode_dcf77_frame(t: DecodedTime) -> list[int]:
     return bits
 
 
+_DAYS_IN = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def decode_wwvb_frame(syms: list[int]) -> DecodedTime | None:
+    """60 WWVB symbols (0, 1, 2=marker; symbol i = second i) -> time.
+
+    NIST 60 kHz amplitude time code: frame-reference markers at
+    seconds 0, 9, 19, 29, 39, 49, 59; minutes in bits 1-8
+    (weights 40 20 10 - 8 4 2 1), hours 12-18 (20 10 - 8 4 2 1),
+    day-of-year 22-33 (200 100 - 80 40 20 10 - 8 4 2 1), year
+    45-53 (80 40 20 10 [marker] 8 4 2 1), leap-year flag bit 55.
+    """
+    if len(syms) < 60:
+        return None
+    if any(syms[i] != 2 for i in (0, 9, 19, 29, 39, 49, 59)):
+        return None
+
+    def val(pairs):
+        return sum(w for i, w in pairs if syms[i] == 1)
+    minute = val(((1, 40), (2, 20), (3, 10), (5, 8), (6, 4), (7, 2),
+                  (8, 1)))
+    hour = val(((12, 20), (13, 10), (15, 8), (16, 4), (17, 2),
+                (18, 1)))
+    doy = val(((22, 200), (23, 100), (25, 80), (26, 40), (27, 20),
+               (28, 10), (30, 8), (31, 4), (32, 2), (33, 1)))
+    year = val(((45, 80), (46, 40), (47, 20), (48, 10), (50, 8),
+                (51, 4), (52, 2), (53, 1)))
+    leap = syms[55] == 1
+    if not (1 <= doy <= 366 and hour < 24 and minute < 60):
+        return None
+    month, day = 1, doy
+    for mi, nd in enumerate(_DAYS_IN):
+        nd += 1 if (mi == 1 and leap) else 0
+        if day <= nd:
+            month = mi + 1
+            break
+        day -= nd
+    else:
+        return None
+    return DecodedTime(minute, hour, day, month, year)
+
+
 @ext_register
 class TimecodeExt(Extension):
     name = "timecode"
@@ -113,13 +155,36 @@ class TimecodeExt(Extension):
     def _scan_seconds(self) -> None:
         """Classify per-second carrier reductions into bits."""
         spb = 100                           # 10ms cells per second
+        wwvb = self.station.upper() == "WWVB"
         while len(self._env) >= spb:
             sec = np.asarray(self._env[:spb])
             del self._env[:spb]
-            hi = np.median(sec[60:])        # end of second: full power
+            hi = np.median(sec[85:])        # end of second: full power
             if hi <= 1e-9:
                 continue
             low_cells = int(np.sum(sec < 0.5 * hi))
+            if wwvb:
+                # WWVB: power reduced at the START of each second for
+                # 0.2 s (bit 0), 0.5 s (bit 1) or 0.8 s (marker)
+                if low_cells >= 65:
+                    sym = 2
+                elif low_cells >= 35:
+                    sym = 1
+                elif low_cells >= 10:
+                    sym = 0
+                else:
+                    continue
+                self._bits.append(sym)
+                # frame start: marker at second 59 followed by the
+                # second-0 marker (two in a row)
+                if (len(self._bits) >= 61 and sym == 2
+                        and self._bits[-2] == 2):
+                    t = decode_wwvb_frame(self._bits[-61:-1])
+                    if t:
+                        self.decoded = t
+                    self._bits = self._bits[-1:]
+                self._bits = self._bits[-130:]
+                continue
             if low_cells < 5:
                 # NO reduction: DCF77 marks the minute by OMITTING the
                 # 59th second's pulse — flush and decode the frame
