@@ -32,6 +32,34 @@ class FaxExt(Extension):
         self._last = 0.0 + 0.0j
         self.lines = 0
 
+    def command(self, cmd: dict) -> list:
+        """FAX panel controls (reference
+        `web/extensions/FAX/FAX.js`): LPM select, pixel shift
+        (manual phasing trim), re-phase."""
+        out = []
+        if "lpm" in cmd:
+            try:
+                self.lpm = float(cmd["lpm"])
+            except ValueError:
+                return out
+            self.line_samples = int(round(self.fs * 60.0 / self.lpm))
+            self._carry = np.zeros(0, np.float64)
+            self._phase_off = None
+            out.append(("fax_status", f"lpm={self.lpm:g}".encode()))
+        if "shift" in cmd and self._phase_off is not None:
+            try:
+                px = int(cmd["shift"])
+            except ValueError:
+                return out
+            self._phase_off = (self._phase_off
+                               + px * self.line_samples
+                               // self.px_per_line) % self.line_samples
+            out.append(("fax_status", b"shifted"))
+        if "rephase" in cmd:
+            self._phase_off = None
+            out.append(("fax_status", b"rephasing"))
+        return out
+
     def _freq_track(self, audio: np.ndarray) -> np.ndarray:
         """Instantaneous frequency via analytic quadrature pair."""
         t = np.arange(len(audio)) / self.fs

@@ -63,6 +63,34 @@ class SstvExt(Extension):
         self._pos = 0.0          # sample cursor into _freqs
         self.lines_out = 0
 
+    def command(self, cmd: dict) -> list:
+        """SSTV panel controls (reference
+        `web/extensions/SSTV/SSTV.js`): force a mode (skip VIS) or
+        return to auto, restart the frame."""
+        out = []
+        if "mode" in cmd:
+            want = str(cmd["mode"]).lower()
+            if want in ("auto", ""):
+                self.mode = None
+                out.append(("sstv_mode", b"auto"))
+            else:
+                for m in MODES.values():
+                    if want in m.name.lower().replace(" ", ""):
+                        self.mode = m
+                        self._line = 0
+                        self._pos = 0.0
+                        self._freqs = np.zeros(0, np.float64)
+                        out.append(("sstv_mode",
+                                    f"forced {m.name}".encode()))
+                        break
+        if "restart" in cmd:
+            self._line = 0
+            self._pos = 0.0
+            self.mode = None
+            self._freqs = np.zeros(0, np.float64)
+            out.append(("sstv_mode", b"restarted"))
+        return out
+
     # -- shared freq tracker (see fax.py) --------------------------------
     def _freq_track(self, audio: np.ndarray) -> np.ndarray:
         t = np.arange(len(audio)) / self.fs

@@ -75,6 +75,10 @@ class GpsChannel:
     anchor_base: int = 0            # global bit index of bit_anchors[0]
     # transmit-time reference: (t_tx at anchor, chips at anchor)
     tow_ref: tuple[float, float] | None = None
+    # prompt I/Q ring for the UI IQ scatter (the reference's per-
+    # channel IQ logger, CmdIQLogGet / `gps/solve.cpp:585-599`)
+    iq_log: collections.deque = dataclasses.field(
+        default_factory=lambda: collections.deque(maxlen=256))
     asm: ephemeris.SubframeAssembler = None
     lost_count: int = 0
     # Galileo symbol accumulator: code-period id -> prompt-I sum
@@ -284,6 +288,7 @@ class GpsManager:
         # advances by ~1023 chips regardless of constellation (E1B is
         # also 1.023 Mcps), so advance[k] = 1023 + wrap(diff - 1023)
         # with the wrap taken mod the channel's code length.
+        ch.iq_log.extend(zip(ip.tolist(), qp.tolist()))
         L = float(ch.code_len)
         seq = np.concatenate([cp_starts, [cp_end]])
         adv = 1023.0 + ((np.diff(seq) - 1023.0 + L / 2) % L - L / 2)

@@ -315,6 +315,24 @@ class Connection:
             self._rebuild_wf()
         elif cmd == "keepalive":
             pass                      # last_keepalive already refreshed
+        elif cmd == "camp":
+            # MON stream target pick (`rx/rx_monitor.cpp` c2s_mon:
+            # the camper chooses WHICH busy channel to monitor)
+            if not self.camping and self.rx_chan is not None:
+                return                # only campers may retarget
+            try:
+                want = int(p.get("camp", -1))
+            except ValueError:
+                return
+            occupied = {c.rx_chan for c in self.server.conns.values()
+                        if c is not self and c.rx_chan is not None
+                        and not c.camping}
+            if want in occupied:
+                self.rx_chan = want
+                self.camping = True
+                await self.send_msg(which, camp=want)
+            else:
+                await self.send_msg(which, camp=-1)
         elif cmd == "geoloc":
             # "SET geoloc=<encoded>" — client self-reported location,
             # surfaced in /users (`rx/rx_cmd.cpp:1885`)
@@ -822,6 +840,10 @@ class KiwiServer:
         self.app.router.add_get("/s-meter", self.http_smeter)
         self.app.router.add_get("/adc", self.http_adc)
         self.app.router.add_get("/dx", self.http_dx)
+        self.app.router.add_get("/DIS", self.http_dis)
+        self.app.router.add_post("/PIX", self.http_pix)
+        self.app.router.add_get("/photo", self.http_photo)
+        self.photo: bytes | None = None   # /PIX upload store
         self.app.router.add_get("/{ts}/{stream:.*}", self.ws_entry)
 
     def check_password(self, conn_type: str, password: str) -> bool:
@@ -900,13 +922,15 @@ class KiwiServer:
     async def ws_entry(self, request):
         ts = request.match_info["ts"]
         stream = request.match_info["stream"]
-        if stream not in ("SND", "W/F", "EXT", "ADMIN", "MON"):
+        if stream not in ("SND", "W/F", "EXT", "ADMIN", "MON", "MFG"):
             return web.Response(status=404, text="no such stream")
         peer = request.remote or ""
         if self.ip_blocked(peer):
             return web.Response(status=403, text="blocked")
         if stream == "ADMIN":
             return await self.ws_admin(request)
+        if stream == "MFG":
+            return await self.ws_mfg(request)
         ws = web.WebSocketResponse()
         await ws.prepare(request)
         conn = self.conns.get(ts)
@@ -1081,6 +1105,70 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                                       request.remote or "")
         finally:
             self.admin_wss.discard(ws)
+        return ws
+
+    async def ws_mfg(self, request):
+        """MFG stream (`ui/mfg.cpp:59-140` c2s_mfg): the factory
+        interface — version/id report, serial-number allocation/write
+        (the EEPROM analogue persists in cfg), restart.  Admin-grade
+        auth; local-only when no admin password is set."""
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        peer = request.remote or ""
+        authed = False
+        serno_key, model_key = "serno", "model"
+
+        async def send_info():
+            await ws.send_bytes(packets.msg(
+                ver_maj=__version__.split(".")[0],
+                ver_min=(__version__.split(".") + ["0"])[1],
+                serno=(self.cfg.int(serno_key, 0) if self.cfg else 0),
+                model=(self.cfg.int(model_key, 0) if self.cfg else 0),
+                next_serno=(self.cfg.int("next_serno", 1)
+                            if self.cfg else 1)))
+
+        async for m in ws:
+            if m.type not in (WSMsgType.TEXT, WSMsgType.BINARY):
+                break
+            text = m.data if isinstance(m.data, str) else \
+                m.data.decode("utf-8", "ignore")
+            p = packets.parse_set(text)
+            cmd = p.get("_cmd")
+            if cmd == "auth":
+                authed = self.check_password("admin", p.get("p", ""))
+                pw_set = (self.cfg is not None and
+                          self.cfg.string("admin_password", "") != "")
+                if authed and not pw_set:
+                    authed = peer in ("127.0.0.1", "::1", "localhost")
+                await ws.send_bytes(packets.msg(
+                    badp=0 if authed else 1))
+                if authed:
+                    await send_info()
+            elif not authed:
+                await ws.send_bytes(packets.msg(badp=1))
+            elif cmd == "eeprom_write" and self.cfg is not None:
+                try:
+                    serno = int(p.get("serno", 0))
+                    model = int(p.get("model", 0))
+                except ValueError:
+                    continue
+                if model > 0:
+                    self.cfg.set(serno_key, serno)
+                    self.cfg.set(model_key, model)
+                    self.cfg.save()
+                    await send_info()
+            elif cmd == "set_serno" and self.cfg is not None:
+                try:
+                    self.cfg.set("next_serno",
+                                 int(p.get("set_serno", 1)))
+                except ValueError:
+                    continue
+                self.cfg.save()
+                await send_info()
+            elif cmd == "mfg_restart":
+                await ws.send_bytes(packets.msg(restarting=1))
+                self.restart_requested = True
+                self._restart_event.set()
         return ws
 
     async def close_admin_conns(self) -> None:
@@ -1304,10 +1392,25 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
     async def http_gps(self, request):
         """Full GPS subsystem status as JSON: tracked PRNs with az/el,
         solutions per solver set, clock discipline (the data behind the
-        reference's GPS admin tab / sky map, `gps/stat.cpp`)."""
+        reference's GPS admin tab / sky map, `gps/stat.cpp`).
+
+        ``?iq=<prn>`` returns the channel's recent prompt I/Q pairs —
+        the per-channel IQ logger behind the admin IQ scatter plot
+        (CmdIQLogGet, `gps/solve.cpp:585-599`)."""
         if self.gps is None:
             return web.Response(text=json.dumps({"enabled": False}),
                                 content_type="application/json")
+        if "iq" in request.query:
+            try:
+                prn = int(request.query["iq"])
+            except ValueError:
+                return web.Response(status=400, text="bad prn")
+            ch = self.gps.mgr.channels.get(prn)
+            iq = ([[round(float(i), 1), round(float(q), 1)]
+                   for i, q in ch.iq_log] if ch is not None else [])
+            return web.Response(
+                text=json.dumps({"prn": prn, "iq": iq}),
+                content_type="application/json")
         st = dict(self.gps.status())
         st["enabled"] = True
         return web.Response(text=json.dumps(st),
@@ -1353,6 +1456,63 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
         rows = [lab.to_json() for lab in self.dx.in_range(lo, hi)]
         return web.Response(text=json.dumps({"dx": rows}),
                             content_type="application/json")
+
+    PHOTO_MAX = 2 * 1024 * 1024
+
+    @staticmethod
+    def _is_local(ip: str) -> bool:
+        return ip in ("127.0.0.1", "::1", "localhost") or \
+            ip.startswith(("10.", "192.168.")) or \
+            any(ip.startswith(f"172.{i}.") for i in range(16, 32))
+
+    async def http_dis(self, request):
+        """AJAX_DISCOVERY ("/DIS", `rx_server_ajax.cpp:384-389`):
+        local-network-only id line "serno ip_pub ip_pvt port nm_bits
+        mac" used by the kiwisdr discovery scanner."""
+        peer = request.remote or ""
+        if not self._is_local(peer):
+            return web.Response(status=403, text="local only")
+        serno = (self.cfg.int("serno", 0) if self.cfg else 0)
+        host = request.host.split(":")[0]
+        body = f"{serno} {host} {host} {self.port} 24 " \
+               "00:00:00:00:00:00"
+        return web.Response(text=body)
+
+    async def http_pix(self, request):
+        """AJAX_PHOTO ("/PIX", `rx_server_ajax.cpp:109-160`): photo
+        upload for the public listing — local-network-only, gated on
+        the live authkey (query string), size-capped; the stored
+        image serves at /photo."""
+        peer = request.remote or ""
+        if not self._is_local(peer):
+            return web.Response(text="5")       # rc=5: not local
+        key = request.query_string
+        if not (self.authkey and key == self.authkey):
+            return web.Response(text="1")       # rc=1: bad key
+        self.authkey = None                      # single use
+        try:
+            post = await request.post()
+        except ValueError:
+            return web.Response(text="3")
+        item = next(iter(post.values()), None)
+        data = item.file.read() if hasattr(item, "file") else None
+        if data is None:
+            return web.Response(text="3")
+        if len(data) >= self.PHOTO_MAX:
+            return web.Response(text="4")       # rc=4: too big
+        # server-side content check ("file ..." analogue): magic only
+        if not data[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0",
+                            b"\xff\xd8\xff\xe1", b"\xff\xd8\xff\xdb"):
+            return web.Response(text="2")       # rc=2: not an image
+        self.photo = bytes(data)
+        return web.Response(text="0")
+
+    async def http_photo(self, request):
+        if self.photo is None:
+            return web.Response(status=404, text="no photo")
+        ctype = ("image/png" if self.photo[:4] == b"\x89PNG"
+                 else "image/jpeg")
+        return web.Response(body=self.photo, content_type=ctype)
 
     async def http_snr(self, request):
         """SNR self-measurement history (`rx/rx_util.cpp:917-1080`

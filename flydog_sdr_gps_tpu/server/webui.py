@@ -64,6 +64,7 @@ PAGE = r"""<!doctype html>
  <div id="smeter"><div id="smeter_fill"></div></div>
  <span id="smeter_db">-127 dBm</span>
  ext <select id="ext"><option value="">off</option></select>
+ camp <select id="camp"><option value="">off</option></select>
  <button id="gps_btn">gps</button>
 </div>
 <div id="labels"></div>
@@ -75,6 +76,7 @@ PAGE = r"""<!doctype html>
      image canvas (SSTV/FAX), scope canvas (IQ scatter / S-meter
      graph / audio FFT), spot table (WSPR/FT8/FT4), text console -->
 <div id="panel" style="display:none">
+ <div id="extctl" style="padding:2px 0"></div>
  <canvas id="extimg" width="1024" height="256"
    style="display:none;background:#000;image-rendering:pixelated">
  </canvas>
@@ -255,7 +257,7 @@ function openSnd() {
       for (let i = 0; i < pcm.length; i++)
         pcm[i] = dv.getInt16(off + 2 * i, le);
     }
-    if (actx) playPcm(pcm);
+    if (actx && !campMode) playPcm(pcm);  // camping mutes own chan
   };
   snd_ws.onclose = () => setTimeout(openSnd, 2000);
 }
@@ -585,6 +587,66 @@ EXTENSIONS.forEach((n) => {
   o.value = n; o.textContent = n;
   extSel.appendChild(o);
 });
+// ---------------- per-extension CONTROLS ----------------
+// (reference: each web/extensions/<name>/<name>.js control strip —
+// WSPR/FT8 band select tunes the VFO; FAX gets LPM/shift/re-phase;
+// SSTV gets mode force/restart.  Commands ride the same "SET" path
+// and land in the extension's command() handler.)
+const EXT_BANDS = {
+  wspr: { "160m": 1836.6, "80m": 3568.6, "40m": 7038.6,
+          "30m": 10138.7, "20m": 14095.6, "15m": 21094.6,
+          "10m": 28124.6 },
+  FT8:  { "80m": 3573, "40m": 7074, "30m": 10136, "20m": 14074,
+          "15m": 21074, "10m": 28074 },
+  FT4:  { "40m": 7047.5, "20m": 14080, "15m": 21140 },
+};
+function buildExtCtl(name) {
+  const ctl = document.getElementById("extctl");
+  ctl.textContent = "";
+  const mk = (tag, txt) => {
+    const el = document.createElement(tag);
+    if (txt !== undefined) el.textContent = txt;
+    ctl.appendChild(el);
+    return el;
+  };
+  if (EXT_BANDS[name]) {
+    mk("span", "band ");
+    const sel = mk("select");
+    Object.entries(EXT_BANDS[name]).forEach(([b, khz]) => {
+      const o = document.createElement("option");
+      o.value = khz; o.textContent = b + " (" + khz + ")";
+      sel.appendChild(o);
+    });
+    sel.onchange = () => {
+      freq_khz = parseFloat(sel.value); mode = "usb"; retune();
+    };
+  } else if (name === "FAX") {
+    mk("span", "lpm ");
+    const sel = mk("select");
+    [60, 90, 120, 240].forEach((l) => {
+      const o = document.createElement("option");
+      o.value = l; o.textContent = l;
+      if (l === 120) o.selected = true;
+      sel.appendChild(o);
+    });
+    sel.onchange = () => setMsg(snd_ws, "lpm=" + sel.value);
+    mk("button", "◀").onclick = () => setMsg(snd_ws, "shift=-4");
+    mk("button", "▶").onclick = () => setMsg(snd_ws, "shift=4");
+    mk("button", "re-phase").onclick =
+        () => setMsg(snd_ws, "rephase=1");
+  } else if (name === "SSTV") {
+    mk("span", "mode ");
+    const sel = mk("select");
+    ["auto", "MartinM1", "ScottieS1"].forEach((m) => {
+      const o = document.createElement("option");
+      o.value = m.toLowerCase(); o.textContent = m;
+      sel.appendChild(o);
+    });
+    sel.onchange = () => setMsg(snd_ws, "mode=" + sel.value);
+    mk("button", "restart").onclick =
+        () => setMsg(snd_ws, "restart=1");
+  }
+}
 extSel.onchange = () => {
   const box = document.getElementById("extout");
   const panel = document.getElementById("panel");
@@ -595,6 +657,7 @@ extSel.onchange = () => {
   panelShow(null);
   if (extSel.value) {
     setMsg(snd_ws, "ext_switch_to_client=" + extSel.value);
+    buildExtCtl(extSel.value);
     panel.style.display = "block";
     box.style.display = "block";
     box.textContent = "";
@@ -603,6 +666,57 @@ extSel.onchange = () => {
     panel.style.display = "none";
     box.style.display = "none";
   }
+};
+// ---------------- camping (MON stream) ----------------
+// listen-only share of another user's channel
+// (reference: rx/rx_monitor.cpp c2s_mon + the camp UI)
+let camp_ws = null, campAdpcm = null, campMode = false;
+const campSel = document.getElementById("camp");
+campSel.onmousedown = async () => {
+  let users = [];
+  try { users = await (await fetch("/users")).json(); } catch (x) {}
+  campSel.textContent = "";
+  const off = document.createElement("option");
+  off.value = ""; off.textContent = "off";
+  campSel.appendChild(off);
+  users.forEach((u) => {
+    const o = document.createElement("option");
+    o.value = u.i;
+    o.textContent = "ch" + u.i + " " + (u.n || "?") + " " +
+        u.f.toFixed(1) + " " + u.m;
+    campSel.appendChild(o);
+  });
+};
+campSel.onchange = () => {
+  if (camp_ws) { camp_ws.close(); camp_ws = null; }
+  campMode = false;
+  if (campSel.value === "") return;
+  campAdpcm = { pred: 0, idx: 0 };
+  camp_ws = new WebSocket("ws://" + location.host + "/" + TS +
+                          "camp/MON");
+  camp_ws.binaryType = "arraybuffer";
+  camp_ws.onopen = () => {
+    setMsg(camp_ws, "auth t=kiwi p=");
+    setMsg(camp_ws, "compression=1");
+    setMsg(camp_ws, "camp=" + campSel.value);
+    campMode = true;
+  };
+  camp_ws.onmessage = (e) => {
+    const u8 = new Uint8Array(e.data);
+    if (String.fromCharCode(u8[0], u8[1], u8[2]) !== "SND") return;
+    const flags = u8[3];
+    const off = (flags & 0x08) ? 20 : 10;
+    let pcm;
+    if (flags & 0x10) {
+      pcm = adpcmDecode(u8.subarray(off), campAdpcm, -32768, 32767);
+    } else {
+      const dv = new DataView(e.data);
+      pcm = new Int32Array((u8.length - off) / 2);
+      for (let i = 0; i < pcm.length; i++)
+        pcm[i] = dv.getInt16(off + 2 * i, !!(flags & 0x80));
+    }
+    if (actx) playPcm(pcm);
+  };
 };
 document.getElementById("audio_btn").onclick = () => {
   if (!actx) {

@@ -349,3 +349,128 @@ async def backup_restore_scenario():
 def test_backup_restore():
     asyncio.run(asyncio.wait_for(backup_restore_scenario(),
                                  timeout=120))
+
+
+def test_mfg_stream_and_discovery():
+    """MFG factory stream (`ui/mfg.cpp` c2s_mfg): auth, id report,
+    serial-number write; /DIS discovery line
+    (`rx_server_ajax.cpp:384-389`); /PIX photo upload with authkey
+    gate (`rx_server_ajax.cpp:109-160`)."""
+    async def scenario():
+        params = rx.RxParams(num_channels=2, audio_block=128)
+        src = SyntheticSource(tones=((14.201e6, 0.5),),
+                              noise_rms=0.001)
+        eng = StreamEngine(params, src)
+        cfg = Config()
+        server = KiwiServer(eng, cfg=cfg, port=PORT + 2,
+                            realtime=False)
+        runner = await server.start()
+        base = f"http://127.0.0.1:{PORT + 2}"
+        try:
+            async with aiohttp.ClientSession() as s:
+                # MFG: unauthed ops refused
+                ws = await s.ws_connect(f"{base}/1/MFG")
+                await ws.send_str("SET set_serno=42")
+                m = await ws.receive()
+                assert b"badp=1" in m.data
+                # auth (no admin pwd set -> local peer allowed)
+                await ws.send_str("SET auth t=admin p=")
+                m = await ws.receive()
+                assert b"badp=0" in m.data
+                m = await ws.receive()       # id report
+                assert b"serno=" in m.data and b"ver_maj=" in m.data
+                await ws.send_str("SET eeprom_write=1 serno=1234 "
+                                  "model=2")
+                m = await ws.receive()
+                assert b"serno=1234" in m.data
+                assert cfg.int("serno") == 1234
+                await ws.send_str("SET set_serno=77")
+                m = await ws.receive()
+                assert b"next_serno=77" in m.data
+                await ws.close()
+
+                # /DIS (local peer): "serno ip ip port nm mac"
+                async with s.get(f"{base}/DIS") as r:
+                    line = await r.text()
+                assert line.split()[0] == "1234"
+                assert line.split()[3] == str(PORT + 2)
+
+                # /PIX: requires a live authkey
+                png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+                fd = aiohttp.FormData()
+                fd.add_field("photo", png, filename="p.png")
+                async with s.post(f"{base}/PIX?wrongkey",
+                                  data=fd) as r:
+                    assert await r.text() == "1"
+                from flydog_sdr_gps_tpu.utils import security
+                server.authkey = security.generate_authkey()
+                fd = aiohttp.FormData()
+                fd.add_field("photo", png, filename="p.png")
+                async with s.post(f"{base}/PIX?{server.authkey}",
+                                  data=fd) as r:
+                    assert await r.text() == "0"
+                async with s.get(f"{base}/photo") as r:
+                    assert await r.read() == png
+                # non-image content rejected
+                server.authkey = security.generate_authkey()
+                fd = aiohttp.FormData()
+                fd.add_field("photo", b"not an image",
+                             filename="p.txt")
+                async with s.post(f"{base}/PIX?{server.authkey}",
+                                  data=fd) as r:
+                    assert await r.text() == "2"
+        finally:
+            await server.stop()
+            await runner.cleanup()
+
+    asyncio.run(scenario())
+
+
+def test_gps_iq_logger_endpoint():
+    """/gps?iq=<prn>: the per-channel prompt-IQ logger (CmdIQLogGet
+    analogue, `gps/solve.cpp:585-599`)."""
+    import collections
+
+    class FakeCh:
+        iq_log = collections.deque([(100.0, -3.0), (98.0, 2.5)])
+
+    class FakeMgr:
+        channels = {7: FakeCh()}
+
+    class FakeGps:
+        mgr = FakeMgr()
+        engine = object()         # already bound
+
+        def status(self):
+            return {"tracking": 1, "fixes": 0, "fix": None}
+
+        async def run(self):
+            await asyncio.sleep(3600)
+
+        def stop(self):
+            pass
+
+    async def scenario():
+        params = rx.RxParams(num_channels=2, audio_block=128)
+        src = SyntheticSource(tones=((14.201e6, 0.5),),
+                              noise_rms=0.001)
+        eng = StreamEngine(params, src)
+        server = KiwiServer(eng, port=PORT + 3, realtime=False,
+                            gps=FakeGps())
+        runner = await server.start()
+        try:
+            async with aiohttp.ClientSession() as s:
+                async with s.get(
+                        f"http://127.0.0.1:{PORT + 3}/gps?iq=7") as r:
+                    d = json.loads(await r.text())
+                assert d["prn"] == 7
+                assert d["iq"] == [[100.0, -3.0], [98.0, 2.5]]
+                async with s.get(
+                        f"http://127.0.0.1:{PORT + 3}/gps?iq=9") as r:
+                    d = json.loads(await r.text())
+                assert d["iq"] == []
+        finally:
+            await server.stop()
+            await runner.cleanup()
+
+    asyncio.run(scenario())
