@@ -607,7 +607,7 @@ class Connection:
     # -- initial MSG volleys --------------------------------------------
     async def send_msg(self, which: str, **kv) -> None:
         ws = {"SND": self.snd_ws, "W/F": self.wf_ws,
-              "EXT": self.ext_ws}.get(which)
+              "EXT": self.ext_ws, "MON": self.snd_ws}.get(which)
         if ws is not None and not ws.closed:
             self.queue_bytes(ws, packets.msg(**kv))
 

@@ -249,3 +249,59 @@ def test_campers_share_payload():
             await runner.cleanup()
 
     asyncio.run(scenario())
+
+
+def test_camp_retarget():
+    """MON camper picks its target channel with 'SET camp=<ch>'
+    (rx/rx_monitor.cpp c2s_mon target selection)."""
+    async def scenario():
+        server = _bare_server(port=PORT + 4)
+        runner = await server.start()
+        try:
+            async with aiohttp.ClientSession() as session:
+                s1, s2 = {}, {}
+                t1 = asyncio.create_task(
+                    _snd_client(session, PORT + 4, "o1", 14200.0, s1))
+                t2 = asyncio.create_task(
+                    _snd_client(session, PORT + 4, "o2", 14201.0, s2))
+                while s1.get("pkts", 0) < 2 or s2.get("pkts", 0) < 2:
+                    await asyncio.sleep(0.02)
+                ws = await session.ws_connect(
+                    f"http://127.0.0.1:{PORT + 4}/c/MON")
+                await ws.send_str("SET auth t=kiwi p=")
+                await ws.send_str("SET camp=1")
+                saw_ack = False
+                t0 = time.monotonic()
+                while time.monotonic() - t0 < 15:
+                    m = await ws.receive(timeout=10)
+                    if m.type != aiohttp.WSMsgType.BINARY:
+                        continue
+                    if m.data.startswith(b"MSG") and \
+                            b"camp=1" in m.data:
+                        saw_ack = True
+                    if saw_ack and m.data[:3] == b"SND":
+                        break
+                assert saw_ack
+                camper = server.conns.get("c")
+                assert camper is not None and camper.rx_chan == 1 \
+                    and camper.camping
+                # retarget to an unoccupied channel is refused
+                await ws.send_str("SET camp=3")
+                t0 = time.monotonic()
+                refused = False
+                while time.monotonic() - t0 < 10:
+                    m = await ws.receive(timeout=5)
+                    if m.type == aiohttp.WSMsgType.BINARY and \
+                            m.data.startswith(b"MSG") and \
+                            b"camp=-1" in m.data:
+                        refused = True
+                        break
+                assert refused and camper.rx_chan == 1
+                t1.cancel()
+                t2.cancel()
+                await ws.close()
+        finally:
+            await server.stop()
+            await runner.cleanup()
+
+    asyncio.run(scenario())
