@@ -226,10 +226,32 @@ def encode_to_tones(msg: WsprMessage) -> np.ndarray:
     return (SYNC.astype(np.uint8) + 2 * sym).astype(np.uint8)
 
 
+def plausible(msg: WsprMessage) -> bool:
+    """wsprd's sanity screen: WSPR power is 0..60 dBm with a last
+    digit of 0/3/7 (`extensions/wspr/wspr.cpp` ntype checks), the
+    grid is [A-R][A-R][0-9][0-9], and the callsign has at least one
+    letter and one digit.  Garbage that survives the sequential
+    decoder at low sync fails these."""
+    if not (0 <= msg.dbm <= 60 and msg.dbm % 10 in (0, 3, 7)):
+        return False
+    g = msg.grid
+    if len(g) != 4 or not ("A" <= g[0] <= "R" and "A" <= g[1] <= "R"
+                           and g[2].isdigit() and g[3].isdigit()):
+        return False
+    cs = msg.callsign.strip()
+    if not (2 <= len(cs) <= 6 and any(c.isalpha() for c in cs)
+            and any(c.isdigit() for c in cs)):
+        return False
+    return True
+
+
 def decode_soft_symbols(soft_syms: np.ndarray) -> WsprMessage | None:
     """162 soft data metrics (transmission order) -> message."""
     soft = deinterleave_soft(soft_syms)
     bits = stack_decode(soft)
     if bits is None:
         return None
-    return unpack_message(bits)
+    msg = unpack_message(bits)
+    if msg is not None and not plausible(msg):
+        return None
+    return msg

@@ -239,7 +239,14 @@ function openSnd() {
       extDispatch(etag, u8.subarray(sp + 1));
       return;
     }
-    if (tag !== "SND") return;     // MSG frames: ignore (params known)
+    if (tag === "MSG") {
+      const txt = new TextDecoder().decode(u8.subarray(4));
+      const m = txt.match(/audio_dropped=(\d+)/);
+      if (m) document.getElementById("stat").textContent =
+          "audio: " + m[1] + " packets dropped (slow link)";
+      return;
+    }
+    if (tag !== "SND") return;
     pkts++;
     const dv = new DataView(e.data);
     const flags = u8[3];

@@ -49,8 +49,10 @@ async def scenario():
             await asyncio.sleep(0.5)
             slow_conn = server.conns["tsslow"]
 
+            release = asyncio.Event()
+
             async def stalled_send(data):
-                await asyncio.sleep(3600)
+                await release.wait()
 
             slow_conn.snd_ws.send_bytes = stalled_send
 
@@ -69,6 +71,21 @@ async def scenario():
             assert slow_conn.send_drops > 0, \
                 "stalled client should be dropping, not queueing forever"
             assert len(slow_conn.sendq._queue) <= slow_conn.SENDQ_MAX
+            # a recovered client is TOLD about the splice: the policy
+            # loop sends "MSG audio_dropped=N" (r4 verdict Weak #5)
+            del slow_conn.snd_ws.send_bytes      # restore real send
+            release.set()              # unstick the in-flight send
+            t_end = asyncio.get_event_loop().time() + 30
+            notified = False
+            while asyncio.get_event_loop().time() < t_end:
+                m = await asyncio.wait_for(ws_slow.receive(),
+                                           timeout=15)
+                if m.type == aiohttp.WSMsgType.BINARY and \
+                        m.data.startswith(b"MSG") and \
+                        b"audio_dropped=" in m.data:
+                    notified = True
+                    break
+            assert notified, "client never told about dropped audio"
             await ws_ok.close()
     finally:
         await server.stop()
