@@ -105,9 +105,15 @@ _MSC_TOTAL_CELLS = _count_data_cells(False)
 N_MUX = _MSC_TOTAL_CELLS // FRAMES_PER_SUPER
 NUM_MSC_DUMMY = _MSC_TOTAL_CELLS - N_MUX * FRAMES_PER_SUPER
 # ETSI 7.6 MSC cell interleaving: block permutation with t_0 = 5 over
-# one multiplex frame; depth D=1 (short) implemented, D=5 (long)
-# signalled via the FAC interleaver-depth flag but not decoded
+# one multiplex frame; depth D=1 (short, 400 ms) and D=5 (long, 2 s)
+# both implemented, selected by the FAC interleaver-depth flag.
+# Long (Dream's SI_LONG, the reference encoder: out_n[i] =
+# frame_{n - (i mod 5)}[perm[i]], `interleaver/SymbolInterleaver.cpp:
+# 42-57`) spreads each multiplex frame over 5 transmitted frames;
+# the receiver reconstructs frame m once frames m..m+4 arrived.
 _MSC_CELL_PERM = drm_mlc.interleaver_perm(N_MUX, 5)
+_LONG_D = 5
+_LONG_SRC = np.arange(N_MUX) % _LONG_D    # i -> frame lag of cell i
 # EEP (N1=0) protection level 1, 16-QAM and 64-QAM variants
 MSC_MLC_16 = drm_mlc.MlcParams("msc", N_MUX, levels=2, protection=1)
 MSC_MLC_64 = drm_mlc.MlcParams("msc", N_MUX, levels=3, protection=1)
@@ -140,7 +146,8 @@ _QAM_OF_MSC_MODE = {0: 64, 1: 64, 2: 64, 3: 16}
 
 
 def fac_pack(service_id: int, label_idx: int, msc_qam: int = 16,
-             frame_idx: int = 0) -> np.ndarray:
+             frame_idx: int = 0,
+             interleaver_short: bool = True) -> np.ndarray:
     """72 FAC bits: channel + service parameters + CRC-8."""
     bits = np.zeros(64, np.uint8)
     pos = 0
@@ -153,7 +160,7 @@ def fac_pack(service_id: int, label_idx: int, msc_qam: int = 16,
     put(0, 1)                             # base/enhancement: base
     put(_FAC_IDENTITY[frame_idx], 2)      # identity (frame position)
     put(3, 4)                             # spectrum occupancy SO_3
-    put(1, 1)                             # interleaver depth: short
+    put(1 if interleaver_short else 0, 1)  # interleaver depth
     put(_MSC_MODE_OF_QAM[msc_qam], 2)     # MSC mode
     put(1, 1)                             # SDC mode: CS_1_SM (QPSK)
     put(4, 4)                             # number of services: 1 audio
@@ -346,10 +353,26 @@ def audio_frames_per_super(audio: dict | None) -> int:
 
 class DrmTx:
     def __init__(self, service_id: int = 0xA1B2C3, label_idx: int = 7,
-                 msc_qam: int = 16):
+                 msc_qam: int = 16, interleaver: str = "short"):
         self.service_id = service_id
         self.label_idx = label_idx
         self.msc_qam = msc_qam
+        assert interleaver in ("short", "long")
+        self.interleaver = interleaver
+        # SI_LONG: ring of the last D=5 logical frames' pre-interleave
+        # cells (zeros until the pipeline fills, like Dream's
+        # interleaver memory)
+        self._ilv_ring: list[np.ndarray] = []
+
+    def _interleave(self, cells: np.ndarray) -> np.ndarray:
+        if self.interleaver == "short":
+            return cells[_MSC_CELL_PERM]
+        self._ilv_ring.insert(0, cells)
+        del self._ilv_ring[_LONG_D:]
+        mem = np.stack(
+            [self._ilv_ring[j] if j < len(self._ilv_ring)
+             else np.zeros_like(cells) for j in range(_LONG_D)])
+        return mem[_LONG_SRC, _MSC_CELL_PERM]
 
     def superframe(self, sdc_payload: bytes,
                    msc_payload) -> np.ndarray:
@@ -389,7 +412,7 @@ class DrmTx:
             msc_bits[:min(len(bits), len(msc_bits))] = \
                 bits[:len(msc_bits)]
             cells = msc_mlc.encode(msc_bits)
-            msc_stream.append(cells[_MSC_CELL_PERM])
+            msc_stream.append(self._interleave(cells))
         if NUM_MSC_DUMMY:
             msc_stream.append(
                 _DUMMY_CELLS[np.arange(NUM_MSC_DUMMY) % 2])
@@ -399,7 +422,9 @@ class DrmTx:
         for f in range(FRAMES_PER_SUPER):
             fac_cells = fac_encode(
                 fac_pack(self.service_id, self.label_idx,
-                         msc_qam=self.msc_qam, frame_idx=f)[:72])
+                         msc_qam=self.msc_qam, frame_idx=f,
+                         interleaver_short=(self.interleaver
+                                            == "short"))[:72])
             fi = 0
             for sym in range(SYMS_PER_FRAME):
                 ssym = f * SYMS_PER_FRAME + sym
@@ -460,6 +485,11 @@ class DrmRx:
         self.fac: dict | None = None
         self.msc_audio = msc_audio
         self._synced_at: int | None = None
+        # SI_LONG deinterleaver: ring of received per-frame MSC cell
+        # chunks across CONSECUTIVE superframes (feed() steps one
+        # superframe at a time when synced); frame m reconstructs
+        # once frames m..m+4 have arrived
+        self._rx_ring: list[np.ndarray] = []
 
     def feed(self, iq: np.ndarray) -> list[tuple[str, object]]:
         self._audio = np.concatenate([self._audio,
@@ -471,10 +501,12 @@ class DrmRx:
             start, cfo = self._sync(bb[:need + TS])
             if start is None:
                 self._drop(need // 2)
+                self._rx_ring = []    # long deinterleaver continuity
                 continue
             res = self._demod_super(bb, start, cfo)
             if res is None:
                 self._drop(start + TS)
+                self._rx_ring = []
                 continue
             out.extend(res)
             self._drop(start + FRAMES_PER_SUPER * SYMS_PER_FRAME * TS)
@@ -591,13 +623,33 @@ class DrmRx:
                    else MSC_MLC_64)
         # continuous MSC stream: 3 multiplex frames of N_MUX cells,
         # dummy cells at the superframe end dropped; each frame
-        # cell-DEinterleaved (ETSI 7.6 short) before MLC decoding
+        # cell-DEinterleaved (ETSI 7.6, short D=1 or long D=5 per
+        # the FAC flag) before MLC decoding
         cells = np.asarray(msc_all)[:FRAMES_PER_SUPER * N_MUX]
+        chunks = [cells[f * N_MUX:(f + 1) * N_MUX]
+                  for f in range(FRAMES_PER_SUPER)]
+        if facs[0].get("interleaver_short", True):
+            self._rx_ring = []
+            deints = []
+            for chunk in chunks:
+                deint = np.empty_like(chunk)
+                deint[_MSC_CELL_PERM] = chunk
+                deints.append(deint)
+        else:
+            # long: c_m[perm[i]] = r_{m+(i mod 5)}[i]
+            self._rx_ring.extend(chunks)
+            del self._rx_ring[:-(_LONG_D + FRAMES_PER_SUPER)]
+            deints = []
+            n_ready = len(self._rx_ring) - _LONG_D + 1
+            for m in range(max(0, n_ready - FRAMES_PER_SUPER),
+                           n_ready):
+                rmat = np.stack(self._rx_ring[m:m + _LONG_D])
+                deint = np.empty_like(rmat[0])
+                deint[_MSC_CELL_PERM] = rmat[_LONG_SRC,
+                                             np.arange(N_MUX)]
+                deints.append(deint)
         seen = set()
-        for f in range(FRAMES_PER_SUPER):
-            chunk = cells[f * N_MUX:(f + 1) * N_MUX]
-            deint = np.empty_like(chunk)
-            deint[_MSC_CELL_PERM] = chunk
+        for deint in deints:
             bits = msc_mlc.decode(deint)
             if self.msc_audio:
                 from . import drm_audio

@@ -159,3 +159,27 @@ def test_drm_audio_service_loopback():
     # every non-padded AU of the superframe decodes CRC-clean
     hits = sum(1 for w in want if any(a.startswith(w) for a in aus))
     assert hits >= 14, (hits, len(aus))
+
+
+def test_drm_long_interleaver_loopback():
+    """SI_LONG (ETSI 7.6 D=5): each multiplex frame spreads over 5
+    transmitted frames; the receiver's cross-superframe ring
+    reconstructs them with a 4-frame lag."""
+    from flydog_sdr_gps_tpu.extensions import drm
+    tx = drm.DrmTx(service_id=0x00C0DE,
+                   label_idx=4, interleaver="long")
+    sdc, msc = b"long ilv", b"LONG interleaver payload"
+    sfs = [tx.superframe(sdc, msc).astype(np.complex128)
+           for _ in range(4)]                 # STATE carries across
+    rng = np.random.default_rng(9)
+    sig = np.concatenate([np.zeros(700)] + sfs + [np.zeros(3000)])
+    sig = sig + 0.004 * (rng.standard_normal(len(sig))
+                         + 1j * rng.standard_normal(len(sig)))
+    rx = drm.DrmRx()
+    got = []
+    for i in range(0, len(sig) - 511, 512):
+        got.extend(rx.feed(sig[i:i + 512].astype(np.complex64)))
+    d = dict((t, p) for t, p in got)
+    assert d["drm_fac"]["interleaver_short"] is False
+    assert d.get("drm_sdc") == sdc
+    assert d.get("drm_msc") == msc

@@ -82,3 +82,42 @@ def test_decode_dream_mode_b(oracle_signal):
     aus = [bytes(a) for a in tags.get("drm_audio_frame", [])]
     hits = sum(1 for w in want if bytes(w) in aus)
     assert hits == len(want), (hits, len(want))
+
+
+def test_decode_dream_long_interleaver(tmp_path):
+    """Dream's SI_LONG (D=5) transmission decodes through the
+    cross-superframe cell deinterleaver (4-frame lag)."""
+    from tools import drm_oracle
+    if drm_oracle.build() is None:
+        pytest.skip("no C++ toolchain for the Dream oracle")
+    # 5 superframes: the receiver needs a look-ahead margin for the
+    # last superframe and the D=5 lag defers each frame by 4 more
+    path = tmp_path / "long.f32"
+    man = drm_oracle.generate(str(path), n_superframes=5,
+                              interleaver="long")
+    assert man is not None and man.get("interleaver") == "long"
+    x = np.fromfile(path, np.float32).reshape(-1, 2)
+    z48 = (x[:, 0] + 1j * x[:, 1]).astype(np.complex128)
+    z48 = z48 / (np.sqrt((np.abs(z48) ** 2).mean()) * 2.0)
+    t = np.arange(len(z48))
+    bb48 = z48 * np.exp(-2j * np.pi * man["if_hz"] * t / 48000.0)
+    h = filters.kaiser_lowpass(48000.0, 5100.0, 5900.0, 60.0)
+    z12 = np.convolve(bb48, h, mode="same")[::4].astype(np.complex64)
+    rx = drm.DrmRx(msc_audio=True)
+    got = []
+    for i in range(0, len(z12) - 511, 512):
+        got.extend(rx.feed(z12[i:i + 512]))
+    tags: dict = {}
+    for tag, p in got:
+        tags.setdefault(tag, []).append(p)
+    assert tags["drm_fac"][0]["interleaver_short"] is False
+    # frames 0..5 are all reconstructable within 4 superframes
+    # despite the D=5 lag
+    want = []
+    for fr in man["msc_frames"][:6]:
+        parsed = drm_audio.parse_super_frame(
+            fr[:man["stream_len_b"]], 10)
+        want.extend(au for au, ok in parsed if ok)
+    aus = [bytes(a) for a in tags.get("drm_audio_frame", [])]
+    hits = sum(1 for w in want if bytes(w) in aus)
+    assert hits == len(want), (hits, len(want))

@@ -264,15 +264,19 @@ def build(verbose: bool = False) -> str | None:
     return EXE
 
 
-def generate(out_path: str, n_superframes: int = 5) -> dict | None:
+def generate(out_path: str, n_superframes: int = 5,
+             interleaver: str = "short") -> dict | None:
     """Run the oracle: writes interleaved float32 (re,im) pairs at
     48 kHz (signal centered at the 6 kHz virtual IF) to ``out_path``;
     returns the manifest (service id/label, per-frame MSC payload hex,
-    stream length) parsed from its stdout."""
+    stream length) parsed from its stdout.  ``interleaver`` selects
+    Dream's SI_SHORT (400 ms) or SI_LONG (2 s, D=5) MSC cell
+    interleaving."""
     exe = build()
     if exe is None:
         return None
-    r = subprocess.run([exe, out_path, str(n_superframes)],
+    r = subprocess.run([exe, out_path, str(n_superframes),
+                        interleaver],
                        capture_output=True, text=True, timeout=300)
     if r.returncode != 0:
         return None

@@ -129,11 +129,14 @@ static std::vector<unsigned char> make_super_frame(int total_len,
 int main(int argc, char** argv)
 {
     if (argc < 3) {
-        fprintf(stderr, "usage: %s out.f32 n_superframes\n", argv[0]);
+        fprintf(stderr,
+                "usage: %s out.f32 n_superframes [short|long]\n",
+                argv[0]);
         return 2;
     }
     const char* out_path = argv[1];
     int n_super = atoi(argv[2]);
+    bool si_long = (argc > 3 && strcmp(argv[3], "long") == 0);
     int frames_total = n_super * 3;
 
     /* parameter setup per CDRMTransmitter's constructor
@@ -163,7 +166,8 @@ int main(int argc, char** argv)
     Parameters.Service[0].iServiceID = 0x7E1;
     Parameters.Service[0].strLabel = "TPU ORACLE";
     Parameters.Service[0].iLanguage = 5;
-    Parameters.eSymbolInterlMode = CParameter::SI_SHORT;
+    Parameters.eSymbolInterlMode = (si_long ? CParameter::SI_LONG
+                                            : CParameter::SI_SHORT);
     Parameters.eMSCCodingScheme = CS_2_SM;   /* 16-QAM */
     Parameters.eSDCCodingScheme = CS_1_SM;   /* 4-QAM */
     Parameters.SetStreamLen(0, 0, 0);
@@ -206,6 +210,7 @@ int main(int argc, char** argv)
     printf("n_frames=%d\n", frames_total);
     printf("sample_rate=48000\n");
     printf("if_hz=6000\n");
+    printf("interleaver=%s\n", si_long ? "long" : "short");
     for (int f = 0; f < frames_total + 2; f++) {
         std::vector<unsigned char> sf =
             make_super_frame(lenb, 10 /* AUs @ AS_24KHZ */, f);

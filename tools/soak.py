@@ -72,8 +72,11 @@ async def _run(C: int, block: int, n_snd: int, n_wf: int,
     sky = gps_scene.GpsScene(rx_pos, ephs, t0_gps, duration=3600.0,
                              clock_ppm=0.4, noise=0.9, amplitude=0.5)
     mgr = gps_manager.GpsManager(prns=tuple(ephs))
+    # 0.4 s GPS IF chunks: the default 0.1 s costs ~10 device round
+    # trips/s over the tunnel (~50 ms latency each), which alone eats
+    # half the serving budget; tracking is chunk-size-agnostic
     gps = GpsReceiver(sky, mgr, engine=eng, search_interval=10.0,
-                      assist_ephemerides=ephs)
+                      assist_ephemerides=ephs, chunk_seconds=0.4)
 
     port = int(os.environ.get("SOAK_PORT", "18977"))
     server = KiwiServer(eng, port=port, realtime=False,
