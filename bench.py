@@ -191,6 +191,7 @@ def main():
     # autorun decoders (channels SERVED, not just computed); shares
     # the compiled engine program via the persistent jit cache
     serve = None
+    serve128 = None
     mixed = None
     if os.environ.get("BENCH_SERVE", "1") != "0":
         del state, tuning, x, step, compiled, lowered, taps
@@ -200,6 +201,14 @@ def main():
         log("serve bench ...")
         serve = run_serve_bench()
         log(f"serve: {serve}")
+        # high-listener-count leg (r4 verdict next-step #1: the
+        # serving story must not stop at 32/64 listeners)
+        if os.environ.get("BENCH_SERVE_128", "1") != "0":
+            os.environ["BENCH_SERVE_CLIENTS"] = "128"
+            os.environ["BENCH_SERVE_PORT"] = "18979"
+            log("serve bench (128 clients) ...")
+            serve128 = run_serve_bench()
+            log(f"serve128: {serve128}")
         if os.environ.get("BENCH_MIXED", "1") != "0":
             # BASELINE config 5: audio + WF + GPS + autorun sharing
             # the chip concurrently
@@ -231,6 +240,7 @@ def main():
             "device_kind": dev.device_kind,
             "stage2": os.environ.get("BENCH_STAGE2", "default"),
             "serve": serve,
+            "serve_128": serve128,
             "mixed": mixed,
         },
     }))
