@@ -1285,6 +1285,20 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                     await self.kick_conn(c, "admin")
                 await ws.send_bytes(packets.msg(kicked=int(
                     c is not None)))
+            elif cmd == "services":
+                # network-services tab: background service health
+                # (`net/services.cpp` status surface)
+                sched = getattr(self, "services", None)
+                rows = sched.status() if sched is not None else []
+                await ws.send_bytes(b"SVC " + json.dumps(
+                    rows, separators=(",", ":")).encode())
+            elif cmd == "get_authkey":
+                # single-use key for /PIX photo upload
+                # (CMD_GET_AUTHKEY, `rx/rx_cmd.cpp`)
+                from ..utils import security
+                self.authkey = security.generate_authkey()
+                await ws.send_bytes(packets.msg(
+                    authkey_cb=self.authkey))
             elif cmd == "gps":
                 # GPS control/status tab (`ui/admin.cpp` GPS tab)
                 st = ({"enabled": False} if self.gps is None

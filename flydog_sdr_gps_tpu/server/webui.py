@@ -828,6 +828,9 @@ ADMIN_PAGE = r"""<!doctype html>
  <button class="tab" data-t="dx">dx</button>
  <button class="tab" data-t="gpstab">gps</button>
  <button class="tab" data-t="update">update</button>
+ <button class="tab" data-t="network">network</button>
+ <button class="tab" data-t="webpage">webpage</button>
+ <button class="tab" data-t="public">public</button>
  <button class="tab" data-t="config">config</button>
  <button class="tab" data-t="log">log</button>
  <section id="status" class="on"><pre id="stats"></pre>
@@ -881,6 +884,42 @@ ADMIN_PAGE = r"""<!doctype html>
   <button id="fapply">apply</button> <button id="fsave">save</button>
   <span id="fmsg"></span>
  </section>
+ <section id="network">
+  <table style="border-spacing:6px">
+   <tr><td>DDNS hostname</td><td><input id="n_ddnsh" size="28"></td></tr>
+   <tr><td>DDNS update URL</td><td><input id="n_ddnsu" size="36"></td></tr>
+   <tr><td>DDNS auth (user:pass)</td><td><input id="n_ddnsa" size="24"></td></tr>
+   <tr><td>registry URL</td><td><input id="n_reg" size="36"></td></tr>
+   <tr><td>gateway IP (NAT)</td><td><input id="n_gw" size="16"></td></tr>
+   <tr><td>allow egress</td><td><input id="n_egress" size="4">
+     <small>(1 = registry/DDNS/NAT services may reach the network)</small></td></tr>
+  </table>
+  <button id="napply">apply</button> <span id="nmsg"></span>
+  <hr><b>background services</b> <button id="svcref">refresh</button>
+  <pre id="svcbox"></pre>
+ </section>
+ <section id="webpage">
+  <table style="border-spacing:6px">
+   <tr><td>receiver name</td><td><input id="w_rxname" size="28"></td></tr>
+   <tr><td>status message</td><td><input id="w_status" size="40"></td></tr>
+  </table>
+  <button id="wapply">apply</button> <span id="wmsg"></span>
+  <hr><b>listing photo</b> (shown on the public listing; PNG/JPEG)<br>
+  <input type="file" id="photofile" accept="image/*">
+  <button id="photoput">upload</button> <span id="photomsg"></span><br>
+  <img id="photoprev" src="/photo" style="max-width:320px;margin-top:6px"
+       onerror="this.style.display='none'">
+ </section>
+ <section id="public">
+  <table style="border-spacing:6px">
+   <tr><td>list on public registry</td><td><input id="p_list" size="4">
+     <small>(1 = check in with the registry service)</small></td></tr>
+   <tr><td>grid square</td><td><input id="p_grid" size="8"></td></tr>
+   <tr><td>antenna</td><td><input id="p_ant" size="28"></td></tr>
+   <tr><td>transverter offset (kHz)</td><td><input id="p_off" size="10"></td></tr>
+  </table>
+  <button id="papply">apply</button> <span id="pmsg"></span>
+ </section>
  <section id="config"><textarea id="cfg"></textarea><br>
    key <input id="ckey"> value <input id="cval">
    <button id="cset">set</button> <button id="csave">save</button>
@@ -923,6 +962,20 @@ document.getElementById("go").onclick = () => {
             "saved" in kv ? "saved" : "seq " + kv.cfg_seq;
         send("get_config");
       }
+      if ("authkey_cb" in kv && photoPending) {
+        const f = photoPending; photoPending = null;
+        const fd = new FormData();
+        fd.append("photo", f, f.name);
+        fetch("/PIX?" + kv.authkey_cb, { method: "POST", body: fd })
+          .then((r) => r.text()).then((rc) => {
+            document.getElementById("photomsg").textContent =
+                rc === "0" ? "uploaded" : "failed rc=" + rc;
+            if (rc === "0") {
+              const img = document.getElementById("photoprev");
+              img.style.display = ""; img.src = "/photo?" + Date.now();
+            }
+          });
+      }
       if ("restored" in kv)
         document.getElementById("bakmsg").textContent =
             kv.restored === "1" ? "restored" : "restore failed";
@@ -947,6 +1000,13 @@ document.getElementById("go").onclick = () => {
       a.download = "kiwi_tpu_backup.json";
       a.click();
       document.getElementById("bakmsg").textContent = "downloaded";
+    } else if (s.startsWith("SVC ")) {
+      const rows = JSON.parse(s.slice(4));
+      document.getElementById("svcbox").textContent = rows.map((r) =>
+        r.name.padEnd(18) + (r.enabled ? "on " : "off") +
+        "  runs=" + r.runs + "  ok=" + r.ok +
+        (r.error ? "  err=" + r.error : "")).join("\n") ||
+        "(no services registered)";
     } else if (s.startsWith("UPD ")) {
       const u = JSON.parse(s.slice(4));
       document.getElementById("updbox").textContent =
@@ -1032,7 +1092,17 @@ const FORM_KEYS = [
   ["f_name", "server_name"], ["f_loc", "location"],
   ["f_email", "admin_email"], ["f_upw", "user_password"],
   ["f_ka", "keepalive_sec"], ["f_inact", "inactivity_timeout_mins"],
-  ["f_tlimit", "ip_limit_mins"], ["f_maxip", "max_conns_per_ip"]];
+  ["f_tlimit", "ip_limit_mins"], ["f_maxip", "max_conns_per_ip"],
+  // network tab (net/services.cpp cfg keys)
+  ["n_ddnsh", "ddns_hostname"], ["n_ddnsu", "ddns_url"],
+  ["n_ddnsa", "ddns_auth"], ["n_reg", "registry_url"],
+  ["n_gw", "gateway_ip"], ["n_egress", "egress"],
+  // webpage tab
+  ["w_rxname", "rx_name"], ["w_status", "status_msg"],
+  // public tab
+  ["p_list", "public_listing"], ["p_grid", "grid"],
+  ["p_ant", "antenna"], ["p_off", "freq_offset"]];
+const TAB_KEYS = { napply: ["n_"], wapply: ["w_"], papply: ["p_"] };
 function fillForms(doc) {
   FORM_KEYS.forEach(([id, key]) => {
     const el = document.getElementById(id);
@@ -1051,6 +1121,26 @@ document.getElementById("fapply").onclick = () => {
   document.getElementById("fmsg").textContent = "applied";
 };
 document.getElementById("fsave").onclick = () => send("save_config");
+["napply", "wapply", "papply"].forEach((bid) => {
+  document.getElementById(bid).onclick = () => {
+    FORM_KEYS.forEach(([id, key]) => {
+      if (!TAB_KEYS[bid].some((p) => id.startsWith(p))) return;
+      const v = document.getElementById(id).value;
+      if (v !== "") send("set_config key=" + key + " value=" +
+                         encodeURIComponent(v));
+    });
+    send("save_config");
+    document.getElementById(bid[0] + "msg").textContent = "applied";
+  };
+});
+document.getElementById("svcref").onclick = () => send("services");
+let photoPending = null;
+document.getElementById("photoput").onclick = () => {
+  const f = document.getElementById("photofile").files[0];
+  if (!f) return;
+  photoPending = f;
+  send("get_authkey");       // single-use key for /PIX
+};
 document.querySelectorAll(".tab").forEach((b) => {
   b.onclick = () => {
     document.querySelectorAll(".tab").forEach(
@@ -1059,7 +1149,7 @@ document.querySelectorAll(".tab").forEach((b) => {
         (x) => x.classList.toggle("on", x.id === b.dataset.t));
     const refresh = { users: "users", dx: "dx_list", gpstab: "gps",
                       update: "update_status", log: "log n=100",
-                      status: "stats" };
+                      status: "stats", network: "services" };
     if (refresh[b.dataset.t]) send(refresh[b.dataset.t]);
   };
 });

@@ -474,3 +474,51 @@ def test_gps_iq_logger_endpoint():
             await runner.cleanup()
 
     asyncio.run(scenario())
+
+
+def test_admin_services_and_authkey():
+    """Admin 'services' status command (network tab data) and
+    get_authkey (photo-upload key) over the ADMIN stream."""
+    async def scenario():
+        params = rx.RxParams(num_channels=2, audio_block=128)
+        src = SyntheticSource(tones=((14.201e6, 0.5),),
+                              noise_rms=0.001)
+        eng = StreamEngine(params, src)
+        server = KiwiServer(eng, cfg=Config(), port=PORT + 4,
+                            realtime=False)
+        from flydog_sdr_gps_tpu.server.services import \
+            default_services
+        server.services = default_services(server, cfg=server.cfg,
+                                           egress_allowed=False)
+        runner = await server.start()
+        try:
+            async with aiohttp.ClientSession() as s:
+                ws = await s.ws_connect(
+                    f"http://127.0.0.1:{PORT + 4}/a/ADMIN")
+                await ws.send_str("SET auth t=admin p=")
+                m = await ws.receive()
+                assert b"badp=0" in m.data
+                await ws.send_str("SET services")
+                m = await ws.receive()
+                assert m.data.startswith(b"SVC ")
+                rows = json.loads(m.data[4:])
+                names = {r["name"] for r in rows}
+                assert "snr_measure" in names
+                assert "registry_checkin" in names
+                await ws.send_str("SET get_authkey")
+                m = await ws.receive()
+                assert b"authkey_cb=" in m.data
+                assert server.authkey is not None
+        finally:
+            await server.stop()
+            await runner.cleanup()
+
+    asyncio.run(scenario())
+
+
+def test_admin_page_has_round5_tabs():
+    from flydog_sdr_gps_tpu.server import webui
+    for frag in ('data-t="network"', 'data-t="webpage"',
+                 'data-t="public"', "ddns_hostname", "photo",
+                 "public_listing"):
+        assert frag in webui.ADMIN_PAGE, frag
