@@ -148,11 +148,25 @@ class GpsManager:
         self._track_state, self._code_table = tracking.empty_track_state(
             self.tp, max_chans)
         # one compiled tracking program per (capacity, n_epochs) —
-        # acquire/drop only writes rows, so this never retraces
+        # acquire/drop only writes rows, so this never retraces.
+        # Outputs are PACKED into one flat array: fetching the outs
+        # dict field-by-field paid the device tunnel's round-trip
+        # latency (~25-50 ms) five times per chunk, which alone
+        # dominated the live-soak serving budget (same fix as the
+        # serve path's packed gather, `runtime/stream.py`).
         import jax
+        import jax.numpy as _jnp
         tp = self.tp
-        self._track_jit = jax.jit(
-            lambda s, tbl, raw: tracking.track_epochs(tp, s, tbl, raw))
+
+        def _step(s, tbl, raw):
+            s2, outs = tracking.track_epochs(tp, s, tbl, raw)
+            packed = _jnp.concatenate(
+                [outs["ip"].reshape(-1), outs["qp"].reshape(-1),
+                 outs["ip_pre"].reshape(-1),
+                 outs["code_phase"].reshape(-1),
+                 s2.code_phase.reshape(-1)])
+            return s2, packed
+        self._track_jit = jax.jit(_step)
         self.ticks = 0                  # IF samples consumed (48-bit)
         self.samples_tracked = 0        # IF samples through tracking
         self._rem = np.zeros(0, np.float32)   # sub-epoch remainder
@@ -266,13 +280,16 @@ class GpsManager:
         if not self.channels:
             return
         raw_e = jnp.asarray(buf[:used].reshape(n_ep, self.tp.epoch))
-        self._track_state, outs = self._track_jit(
+        self._track_state, packed = self._track_jit(
             self._track_state, self._code_table, raw_e)
-        ip = np.asarray(outs["ip"])
-        qp = np.asarray(outs["qp"])
-        ip_pre = np.asarray(outs["ip_pre"])
-        cp = np.asarray(outs["code_phase"])   # phase at each epoch START
-        end_cp = np.asarray(self._track_state.code_phase)
+        flat = np.asarray(packed)         # ONE device fetch
+        nch = (len(flat) - 0) // (4 * n_ep + 1)
+        nb = n_ep * nch
+        ip = flat[0:nb].reshape(n_ep, nch)
+        qp = flat[nb:2 * nb].reshape(n_ep, nch)
+        ip_pre = flat[2 * nb:3 * nb].reshape(n_ep, nch)
+        cp = flat[3 * nb:4 * nb].reshape(n_ep, nch)  # epoch-START phase
+        end_cp = flat[4 * nb:4 * nb + nch]
         for ch in list(self.channels.values()):
             i = ch.state_idx
             self._advance_channel(ch, ip[:, i], qp[:, i], ip_pre[:, i],
