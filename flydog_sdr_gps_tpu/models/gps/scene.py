@@ -233,7 +233,12 @@ class GpsScene:
                  clock_ppm: float = 0.0, one_bit: bool = True,
                  seed: int = 0,
                  galileo_ephemerides: dict[int, ephemeris.Ephemeris]
-                 | None = None):
+                 | None = None,
+                 device: bool = False):
+        self.device = device
+        self._dev_jit = None
+        self._dev_shape = None
+        self._dev_key = 0
         self.rx = np.asarray(rx_ecef, float)
         self.fs = fs
         self.fc = fc
@@ -278,8 +283,132 @@ class GpsScene:
             tau = float(np.linalg.norm(rot - self.rx)) / C
         return tau
 
+    # -- device synthesis -------------------------------------------------
+    # The host-numpy path below costs ~4.4 s of float64 trig per 0.4 s
+    # chunk on a small host (measured) — 11x slower than realtime and
+    # the dominant drag on the live soak.  With ``device=True`` the
+    # per-sample work runs as a jitted program: the host computes
+    # per-EPOCH (1 ms) linear phase/chip coefficients in float64
+    # (vectorized algebra on the same two-point delay interpolation
+    # the host path uses), and the device evaluates the f32 ramps,
+    # code/bit gathers, BOC sign and noise.  Per-epoch rebasing keeps
+    # every f32 quantity small (phase ramp <= ~4.1e3 cycles, chip
+    # ramp <= 2 code periods), so the f32 error is <= ~1e-3 chip/cycle
+    # — far below the scene's own noise floor.
+    def _build_dev(self, n_ep: int, epoch: int):
+        import jax
+        import jax.numpy as jnp
+        codes = np.zeros((len(self.sats),
+                          max(s.code_len for s in self.sats)),
+                         np.float32)
+        lens = np.array([s.code_len for s in self.sats], np.int32)
+        bocs = np.array([1.0 if s.boc else 0.0 for s in self.sats],
+                        np.float32)
+        for i, s in enumerate(self.sats):
+            codes[i, :s.code_len] = s.code
+        codes_j = jnp.asarray(codes)
+        lens_j = jnp.asarray(lens)
+        bocs_j = jnp.asarray(bocs)
+        amp = float(self.amplitude)
+        noise = float(self.noise)
+        one_bit = self.one_bit
+
+        def synth(ph0, dph, c0, dc, bit_a, bit_b, flip, key):
+            # args: (n_ep, n_sat) f32 per-epoch coefficients
+            k = jnp.arange(epoch, dtype=jnp.float32)
+
+            def sat(si):
+                ph = ph0[:, si, None] + dph[:, si, None] * k
+                ph = ph - jnp.floor(ph)
+                chips = c0[:, si, None] + dc[:, si, None] * k
+                L = lens_j[si]
+                ci = jnp.floor(chips).astype(jnp.int32)
+                code = codes_j[si, jnp.where(ci >= L, ci - L, ci)]
+                fracc = chips - ci
+                code = code * jnp.where(
+                    bocs_j[si] * jnp.where(fracc < 0.5, 1.0, -1.0)
+                    == -1.0, -1.0, 1.0)
+                bit = jnp.where(chips < flip[:, si, None],
+                                bit_a[:, si, None], bit_b[:, si, None])
+                return code * bit * jnp.cos(
+                    jnp.float32(2 * np.pi) * ph)
+            x = sum(sat(si) for si in range(len(self.sats)))
+            x = amp * x
+            if noise:
+                x = x + noise * jax.random.normal(
+                    jax.random.PRNGKey(key), x.shape)
+            x = x.reshape(-1)
+            return jnp.sign(x) if one_bit else x
+
+        return jax.jit(synth)
+
+    def _next_block_device(self, n: int):
+        import jax.numpy as jnp
+        epoch = 16368                     # 1 ms at 16.368 Msps
+        assert n % epoch == 0, "device scene needs whole-ms blocks"
+        n_ep = n // epoch
+        if self._dev_jit is None or self._dev_shape != n_ep:
+            self._dev_jit = self._build_dev(n_ep, epoch)
+            self._dev_shape = n_ep
+        ns = len(self.sats)
+        ph0 = np.zeros((n_ep, ns)); dph = np.zeros((n_ep, ns))
+        c0 = np.zeros((n_ep, ns)); dc = np.zeros((n_ep, ns))
+        bit_a = np.ones((n_ep, ns)); bit_b = np.ones((n_ep, ns))
+        flip = np.full((n_ep, ns), np.inf)
+        k0 = self.ticks + np.arange(n_ep, dtype=np.float64) * epoch
+        t_e = self.t0 + k0 / self.fs_true     # epoch-start times (f64)
+        t_a = float(t_e[0])
+        t_b = self.t0 + (self.ticks + n - 1) / self.fs_true
+        lo_rate = (F_L1 - self.fc) * (1.0 + self.eps)
+        f_if = F_L1 - lo_rate
+        span = max(t_b - t_a, 1e-12)
+        for si, s in enumerate(self.sats):
+            tau_a = self.true_delay(s.prn, t_a)
+            tau_b = self.true_delay(s.prn, t_b)
+            dtau_dt = (tau_b - tau_a) / span
+            _pos, clk = s.eph.sat_pos(t_a - tau_a)
+            tau_e = tau_a + (t_e - t_a) * dtau_dt
+            tsv_e = t_e - tau_e + clk         # epoch-start SV time
+            dtsv = (1.0 - dtau_dt) / self.fs_true   # d t_sv / sample
+            ph_e = f_if * (t_e - self.t0) + F_L1 * (clk - tau_e)
+            ph0[:, si] = np.mod(ph_e, 1.0)
+            dph[:, si] = f_if / self.fs_true - F_L1 * dtau_dt \
+                / self.fs_true
+            chips_e = tsv_e * CA_CHIP_RATE
+            c0[:, si] = np.mod(chips_e, float(s.code_len))
+            dc[:, si] = dtsv * CA_CHIP_RATE
+            # nav bit per epoch; a flip mid-epoch switches at its chip
+            bidx = np.floor((tsv_e - s.t_bits0) / s.bit_dur
+                            ).astype(np.int64)
+            bidx_end = np.floor(
+                (tsv_e + epoch * dtsv - s.t_bits0) / s.bit_dur
+            ).astype(np.int64)
+            bi = np.clip(bidx, 0, len(s.bits) - 1)
+            be = np.clip(bidx_end, 0, len(s.bits) - 1)
+            bit_a[:, si] = s.bits[bi]
+            bit_b[:, si] = s.bits[be]
+            has_flip = bidx_end > bidx
+            t_flip = s.t_bits0 + bidx_end * s.bit_dur
+            flip[:, si] = np.where(
+                has_flip,
+                c0[:, si] + (t_flip - tsv_e) * CA_CHIP_RATE,
+                np.inf)
+        out = self._dev_jit(
+            jnp.asarray(ph0, jnp.float32), jnp.asarray(dph, jnp.float32),
+            jnp.asarray(c0, jnp.float32), jnp.asarray(dc, jnp.float32),
+            jnp.asarray(bit_a, jnp.float32),
+            jnp.asarray(bit_b, jnp.float32),
+            jnp.asarray(np.where(np.isinf(flip), 1e9, flip),
+                        jnp.float32),
+            self._dev_key)
+        self._dev_key += 1
+        self.ticks += n
+        return np.asarray(out)            # ONE fetch per chunk
+
     def next_block(self, n: int) -> np.ndarray:
         """Generate n IF samples (float32; hard-limited when one_bit)."""
+        if self.device:
+            return self._next_block_device(n)
         k = self.ticks + np.arange(n, dtype=np.float64)
         t = self.t0 + k / self.fs_true        # true GPS reception time
         x = (self.noise * self._rng.standard_normal(n)

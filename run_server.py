@@ -148,7 +148,8 @@ if args.gps:
     sky = gps_scene.GpsScene(rx_pos, ephs, t0, duration=3600.0,
                              clock_ppm=args.gps_ppm, noise=0.9,
                              amplitude=0.5,
-                             galileo_ephemerides=gal_ephs)
+                             galileo_ephemerides=gal_ephs,
+                             device=not args.cpu)
     mgr = gps_manager.GpsManager(
         prns=tuple(ephs) + (3, 7, 30),      # scene PRNs + decoys
         galileo_prns=tuple(gal_ephs))

@@ -342,3 +342,27 @@ def test_acquisition_finds_qzss():
     # 195 is not transmitted: only Gold-family cross-correlation
     # leakage remains, well below the true peaks
     assert byprn[195]["snr"] < byprn[194]["snr"] * 0.5, byprn
+
+
+def test_device_scene_matches_host_scene():
+    """GpsScene(device=True): the jitted per-epoch-coefficient
+    synthesis must match the float64 host path (the host path costs
+    ~11x realtime on a small host and throttled the live soak).
+    Differences are confined to single-sample chip/bit boundary
+    jitter, far below the scene noise floor."""
+    from flydog_sdr_gps_tpu.models.gps import scene as gs
+    rx_pos = gs.ecef_from_lla(47.37, 8.54, 450.0)
+    t0 = 345600.0 + 3.0
+    ephs = gs.visible_constellation(rx_pos, t0, n_sats=4)
+    mk = lambda dev: gs.GpsScene(rx_pos, ephs, t0, duration=30.0,
+                                 clock_ppm=0.4, noise=0.0,
+                                 amplitude=0.5, one_bit=False,
+                                 device=dev)
+    a, b = mk(False), mk(True)
+    n = 16368 * 20
+    for _ in range(2):
+        xa, xb = a.next_block(n), b.next_block(n)
+        err = xa - xb
+        assert np.corrcoef(xa, xb)[0, 1] > 0.9999
+        assert np.sqrt((err ** 2).mean()) < 0.02
+    assert a.ticks == b.ticks

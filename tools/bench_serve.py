@@ -318,7 +318,8 @@ async def _run_mixed(C: int, block: int, n_snd: int, n_wf: int,
     t0_gps = 345600.0 + 3.0
     ephs = gps_scene.visible_constellation(rx_pos, t0_gps, n_sats=8)
     sky = gps_scene.GpsScene(rx_pos, ephs, t0_gps, duration=3600.0,
-                             clock_ppm=0.4, noise=0.9, amplitude=0.5)
+                             clock_ppm=0.4, noise=0.9, amplitude=0.5,
+                             device=True)
     mgr = gps_manager.GpsManager(prns=tuple(ephs))
     # warm-receiver case: ephemerides assisted, so position fixes
     # appear within the bench window (live ephemeris decode needs
