@@ -655,3 +655,46 @@ def test_wefax_ioc576_spec_timing():
         assert r[int(.63 * 512):int(.67 * 512)].mean() > 180
         assert r[int(.45 * 512):int(.55 * 512)].mean() < 60
         assert r[int(.80 * 512):int(.90 * 512)].mean() < 60
+
+
+def test_loran_c_spec_pulse_group():
+    """External Loran-C vector from the published signal spec: pulse
+    envelope v(t) = (t/65us)^2 exp(2(1 - t/65us)), 8 pulses 1000 us
+    apart plus the MASTER's 9th pulse 2000 us after the 8th, repeating
+    at a published GRI (9960, the historic US Northeast chain) — all
+    constructed here from the spec constants, not the repo synth."""
+    from flydog_sdr_gps_tpu.extensions import loran_c as lc
+    fs = FS
+    gri = 9960
+    secs = 6.0
+    n = int(secs * fs)
+    audio = 0.02 * np.random.default_rng(11).standard_normal(n)
+    tp = np.arange(0.0, 300e-6, 1.0 / fs)
+    env = (tp / 65e-6) ** 2 * np.exp(2 * (1 - tp / 65e-6))
+    period = fs * gri / 1e5
+    t0 = 0.0
+    while t0 < n:
+        offs = [k * 1e-3 for k in range(8)] + [7e-3 + 2e-3]  # master
+        for o in offs:
+            lo = int(t0 + o * fs)
+            if lo + len(env) < n:
+                audio[lo:lo + len(env)] += env
+        t0 += period
+    audio = audio.astype(np.float32)
+
+    best, score = lc.search_gri(np.abs(audio.astype(np.float64)), fs)
+    assert best == gri, (best, score)
+
+    e = ext.ext_create("Loran_C", FakeEngine(), 0)
+    e.start(gri0=gri, gri1=5030)
+    rows = {}
+    for i in range(0, len(audio) - 511, 512):
+        for tag, payload in e.process_block(
+                make_taps(audio[i:i + 512])):
+            rows[tag] = np.frombuffer(payload, np.uint8)
+    s0 = rows["scope0"].astype(float)
+    assert s0.max() == 255 and np.median(s0) < 60
+    # the folded scope shows the 9-pulse master group: count peaks
+    hot = s0 > 128
+    groups = np.sum(np.diff(hot.astype(int)) == 1) + int(hot[0])
+    assert groups >= 8, groups
