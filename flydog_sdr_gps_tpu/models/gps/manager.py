@@ -262,15 +262,30 @@ class GpsManager:
                 self._track_state, ch.state_idx)
 
     # -- tracking --------------------------------------------------------
-    def track_block(self, raw_if: np.ndarray) -> None:
+    def track_block(self, raw_if) -> None:
         """Advance all channels over an IF block (multiple 1 ms epochs).
 
         Sub-epoch remainders are buffered so no samples are skipped
-        (the tick counter must count exactly the samples tracked)."""
-        raw_if = np.asarray(raw_if, np.float32)
-        self.ticks = (self.ticks + len(raw_if)) % (1 << 48)
-        buf = (np.concatenate([self._rem, raw_if])
-               if len(self._rem) else raw_if)
+        (the tick counter must count exactly the samples tracked).
+        ``raw_if`` may be a DEVICE array (whole-epoch chunks from a
+        device scene): it is consumed in place — no host round trip.
+        """
+        is_np = isinstance(raw_if, np.ndarray)
+        n_in = int(raw_if.shape[0])
+        self.ticks = (self.ticks + n_in) % (1 << 48)
+        if not is_np and not len(self._rem) \
+                and n_in % self.tp.epoch == 0:
+            n_ep = n_in // self.tp.epoch
+            used = n_in
+            raw_e = raw_if.reshape(n_ep, self.tp.epoch)
+            self.samples_tracked += used
+            if not self.channels:
+                return
+            self._advance_tracked(raw_e, n_ep)
+            return
+        raw_np = np.asarray(raw_if, np.float32)
+        buf = (np.concatenate([self._rem, raw_np])
+               if len(self._rem) else raw_np)
         n_ep = len(buf) // self.tp.epoch
         used = n_ep * self.tp.epoch
         self._rem = buf[used:]
@@ -280,6 +295,9 @@ class GpsManager:
         if not self.channels:
             return
         raw_e = jnp.asarray(buf[:used].reshape(n_ep, self.tp.epoch))
+        self._advance_tracked(raw_e, n_ep)
+
+    def _advance_tracked(self, raw_e, n_ep: int) -> None:
         self._track_state, packed = self._track_jit(
             self._track_state, self._code_table, raw_e)
         flat = np.asarray(packed)         # ONE device fetch
@@ -503,15 +521,24 @@ class GpsManager:
         rolling 2-window capture buffer; newly started channels get
         their code phase projected to the next tracked sample.
         """
-        raw_if = np.asarray(raw_if, np.float32)
+        is_np = isinstance(raw_if, np.ndarray)
+        if is_np:
+            raw_if = np.asarray(raw_if, np.float32)
         self.track_block(raw_if)
         cap_len = 2 * self.acq.n_raw
-        if len(raw_if) >= cap_len:
-            self._sbuf = raw_if[-cap_len:]
-        else:
-            self._sbuf = np.concatenate([self._sbuf, raw_if])[-cap_len:]
         due = (self._search_due()
                if not search and self.search_interval_s > 0 else False)
+        # search capture buffer: host arrays always; DEVICE IF is
+        # fetched only when a search actually runs (the IF stream
+        # otherwise never crosses the host link)
+        if is_np or search or due or self._gal_deferred:
+            raw_np = (raw_if if is_np
+                      else np.asarray(raw_if, np.float32))
+            if len(raw_np) >= cap_len:
+                self._sbuf = raw_np[-cap_len:]
+            else:
+                self._sbuf = np.concatenate(
+                    [self._sbuf, raw_np])[-cap_len:]
         if self._gal_deferred and len(self._sbuf) >= cap_len:
             self._gal_deferred = False
             due = True

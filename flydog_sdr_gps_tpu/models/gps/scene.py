@@ -403,7 +403,11 @@ class GpsScene:
             self._dev_key)
         self._dev_key += 1
         self.ticks += n
-        return np.asarray(out)            # ONE fetch per chunk
+        # returned as a DEVICE array: the tracking kernel consumes it
+        # in place, so the IF stream never crosses the host link (a
+        # 26 MB/chunk down+up round trip measured as tunnel thrash);
+        # the search path fetches a capture only when a search is due
+        return out
 
     def next_block(self, n: int) -> np.ndarray:
         """Generate n IF samples (float32; hard-limited when one_bit)."""

@@ -40,3 +40,28 @@ def test_manager_acquires_and_tracks():
         if not m.channels:
             break
     assert len(m.channels) == 0  # power monitor drops dead channels
+
+
+def test_track_block_accepts_device_arrays():
+    """Device-resident IF (GpsScene device=True path): track_block
+    consumes whole-epoch jax arrays IN PLACE (no host round trip);
+    results must match the numpy path exactly."""
+    import jax.numpy as jnp
+    sats = [(9, 210.0, +1200.0, 0.7)]
+    m1 = manager.GpsManager(prns=(9,))
+    m2 = manager.GpsManager(prns=(9,))
+    raw = synth_if(sats, m1.acq.n_raw, noise=0.5)
+    m1.cold_search(raw)
+    m2.cold_search(raw)
+    n2 = m1.tp.epoch * 40
+    raw2 = synth_if(sats, n2, noise=0.5, seed=1)
+    m1.track_block(raw2)                       # numpy path
+    m2.track_block(jnp.asarray(raw2))          # device path
+    c1, c2 = m1.channels[9], m2.channels[9]
+    assert c1.epochs == c2.epochs == 40
+    assert c1.chips == pytest.approx(c2.chips, abs=1e-6)
+    assert m1.samples_tracked == m2.samples_tracked
+    # process() with a device array + search fetches the capture
+    m3 = manager.GpsManager(prns=(9,))
+    m3.process(jnp.asarray(raw), search=True)
+    assert 9 in m3.channels
