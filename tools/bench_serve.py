@@ -21,7 +21,7 @@ Run standalone (`python tools/bench_serve.py`) or via `bench.py`
 JSON detail.
 
 Env knobs: BENCH_SERVE_C (channels, default = BENCH_C or 4096),
-BENCH_SERVE_CLIENTS (default 32), BENCH_SERVE_BLOCKS (default 40).
+BENCH_SERVE_CLIENTS (default 32), BENCH_SERVE_BLOCKS (default 80).
 
 Note on ``autorun_spots``: the bench scene is unmodulated carriers,
 so the FT8/WSPR autorun decoders have nothing to decode — 0 spots is
@@ -403,7 +403,7 @@ def run_serve_bench() -> dict:
                            os.environ.get("BENCH_C", "4096")))
     block = int(os.environ.get("BENCH_BLOCK", "2048"))
     n_clients = int(os.environ.get("BENCH_SERVE_CLIENTS", "32"))
-    n_blocks = int(os.environ.get("BENCH_SERVE_BLOCKS", "40"))
+    n_blocks = int(os.environ.get("BENCH_SERVE_BLOCKS", "80"))
     autorun = os.environ.get("BENCH_SERVE_AUTORUN", "1") != "0"
     try:
         return asyncio.run(asyncio.wait_for(
