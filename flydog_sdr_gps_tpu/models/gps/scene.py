@@ -313,22 +313,36 @@ class GpsScene:
         noise = float(self.noise)
         one_bit = self.one_bit
 
-        def synth(ph0, dph, c0, dc, bit_a, bit_b, flip, key):
-            # args: (n_ep, n_sat) f32 per-epoch coefficients
+        NW = 1027                        # chips per 1 ms + margin
+        sub_big = jnp.tile(jnp.concatenate(
+            [jnp.ones(8, jnp.float32), -jnp.ones(8, jnp.float32)]), NW)
+
+        def synth(ph0, dph, i0, s0, flip_s, bit_a, bit_b, key):
+            # per-epoch coefficients, (n_ep, n_sat); per-sample code
+            # lookups avoided the same way as the tracking kernel:
+            # chip-window gather + repeat(16) + per-epoch dynamic
+            # slice (a per-sample gather measured ~6.7 ns/element on
+            # TPU and made the synth slower than realtime)
             k = jnp.arange(epoch, dtype=jnp.float32)
 
             def sat(si):
                 ph = ph0[:, si, None] + dph[:, si, None] * k
                 ph = ph - jnp.floor(ph)
-                chips = c0[:, si, None] + dc[:, si, None] * k
                 L = lens_j[si]
-                ci = jnp.floor(chips).astype(jnp.int32)
-                code = codes_j[si, jnp.where(ci >= L, ci - L, ci)]
-                fracc = chips - ci
-                code = code * jnp.where(
-                    bocs_j[si] * jnp.where(fracc < 0.5, 1.0, -1.0)
-                    == -1.0, -1.0, 1.0)
-                bit = jnp.where(chips < flip[:, si, None],
+                widx = jnp.mod(i0[:, si, None] - 1
+                               + jnp.arange(NW)[None, :], L)
+                win = codes_j[si, widx]            # (n_ep, NW)
+                big = jnp.repeat(win, 16, axis=1)
+                starts = 16 + s0[:, si]
+
+                def one(row, s):
+                    return jax.lax.dynamic_slice(row, (s,), (epoch,))
+                code = jax.vmap(one)(big, starts)
+                if float(bocs[si]) != 0.0:
+                    sb = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                        sub_big, (s,), (epoch,)))(starts)
+                    code = code * sb
+                bit = jnp.where(k[None, :] < flip_s[:, si, None],
                                 bit_a[:, si, None], bit_b[:, si, None])
                 return code * bit * jnp.cos(
                     jnp.float32(2 * np.pi) * ph)
@@ -352,9 +366,10 @@ class GpsScene:
             self._dev_shape = n_ep
         ns = len(self.sats)
         ph0 = np.zeros((n_ep, ns)); dph = np.zeros((n_ep, ns))
-        c0 = np.zeros((n_ep, ns)); dc = np.zeros((n_ep, ns))
+        i0 = np.zeros((n_ep, ns), np.int32)
+        s0 = np.zeros((n_ep, ns), np.int32)
         bit_a = np.ones((n_ep, ns)); bit_b = np.ones((n_ep, ns))
-        flip = np.full((n_ep, ns), np.inf)
+        flip_s = np.full((n_ep, ns), 1e9)
         k0 = self.ticks + np.arange(n_ep, dtype=np.float64) * epoch
         t_e = self.t0 + k0 / self.fs_true     # epoch-start times (f64)
         t_a = float(t_e[0])
@@ -374,10 +389,12 @@ class GpsScene:
             ph0[:, si] = np.mod(ph_e, 1.0)
             dph[:, si] = f_if / self.fs_true - F_L1 * dtau_dt \
                 / self.fs_true
-            chips_e = tsv_e * CA_CHIP_RATE
-            c0[:, si] = np.mod(chips_e, float(s.code_len))
-            dc[:, si] = dtsv * CA_CHIP_RATE
-            # nav bit per epoch; a flip mid-epoch switches at its chip
+            chips_e = np.mod(tsv_e * CA_CHIP_RATE, float(s.code_len))
+            i0[:, si] = np.floor(chips_e).astype(np.int32)
+            s0[:, si] = np.round(
+                (chips_e - np.floor(chips_e)) * 16.0).astype(np.int32)
+            # nav bit per epoch; a flip mid-epoch switches at its
+            # SAMPLE offset (exactly 16 samples per chip)
             bidx = np.floor((tsv_e - s.t_bits0) / s.bit_dur
                             ).astype(np.int64)
             bidx_end = np.floor(
@@ -389,17 +406,14 @@ class GpsScene:
             bit_b[:, si] = s.bits[be]
             has_flip = bidx_end > bidx
             t_flip = s.t_bits0 + bidx_end * s.bit_dur
-            flip[:, si] = np.where(
-                has_flip,
-                c0[:, si] + (t_flip - tsv_e) * CA_CHIP_RATE,
-                np.inf)
+            flip_s[:, si] = np.where(
+                has_flip, (t_flip - tsv_e) / dtsv, 1e9)
         out = self._dev_jit(
             jnp.asarray(ph0, jnp.float32), jnp.asarray(dph, jnp.float32),
-            jnp.asarray(c0, jnp.float32), jnp.asarray(dc, jnp.float32),
+            jnp.asarray(i0), jnp.asarray(s0),
+            jnp.asarray(flip_s, jnp.float32),
             jnp.asarray(bit_a, jnp.float32),
             jnp.asarray(bit_b, jnp.float32),
-            jnp.asarray(np.where(np.isinf(flip), 1e9, flip),
-                        jnp.float32),
             self._dev_key)
         self._dev_key += 1
         self.ticks += n

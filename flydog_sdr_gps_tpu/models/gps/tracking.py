@@ -209,20 +209,44 @@ def track_epochs(params: TrackParams, state: TrackState,
         xq = -x[None, :] * sr         # Q = -x*sin  (mix by e^{-j ph})
 
         # ---- code replicas at E/P/L ----
-        chips = st.code_phase[:, None] + t[None, :] * st.code_rate[:, None]
+        # A naive per-sample code lookup is a (nch, n) dynamic gather
+        # three times per epoch — measured ~6.7 ns/element on TPU,
+        # 1.6 s per 0.4 s chunk, 4x slower than realtime.  The signal
+        # has EXACTLY 16 samples per chip (fs/chip = 16368/1023), so
+        # instead: gather only the ~1 ms chip WINDOW per channel
+        # (nch x 1027, 16x16x fewer elements), expand chips -> samples
+        # with a static repeat(16), and align sub-chip phase with
+        # per-channel contiguous dynamic slices.  E/P/L replicas are
+        # the same sequence shifted by +-corr_half*16 samples.  The
+        # within-epoch rate deviation from exactly 1/16 chip/sample is
+        # |Doppler| <= ~1e-5 relative -> <= 0.0015 chip over the
+        # epoch, and the start phase quantizes to 1/32 chip — both far
+        # below DLL noise and dithered across epochs (the carried
+        # code_phase still advances by the TRUE rate).
         cl = st.code_len[:, None]
         is_boc = st.boc[:, None]
+        NW = 1027                       # chips spanned by 1 ms + margin
+        i0 = jnp.floor(st.code_phase).astype(jnp.int32)
+        f0 = st.code_phase - i0
+        widx = jnp.mod(i0[:, None] - 1 + jnp.arange(NW)[None, :],
+                       cl.astype(jnp.int32)).astype(jnp.int32) + ch_off
+        win = jnp.take(code_table, widx)           # (nch, NW)
+        big = jnp.repeat(win, 16, axis=1)          # chip-aligned x16
+        sub_big = jnp.tile(jnp.concatenate(
+            [jnp.ones(8, jnp.float32), -jnp.ones(8, jnp.float32)]), NW)
+        s_prompt = 16 + jnp.round(f0 * 16.0).astype(jnp.int32)
+        s_half = jnp.round(st.corr_half * 16.0).astype(jnp.int32)
+
+        def _code_at(starts):
+            c = jax.vmap(lambda row, s: jax.lax.dynamic_slice(
+                row, (s,), (n,)))(big, starts)
+            sb = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                sub_big, (s,), (n,)))(starts)
+            return c * jnp.where(is_boc > 0, sb, 1.0)
 
         def corr(sign, split=False):
-            pos = jnp.mod(chips + sign * st.corr_half[:, None], cl)
-            frac = pos - jnp.floor(pos)
-            idx = jnp.floor(pos).astype(jnp.int32) + ch_off
-            c = jnp.take(code_table, idx)
-            # BOC(1,1): +1 on the first half of each chip, -1 on the
-            # second — applied only on BOC channels
-            sub = jnp.where(is_boc > 0,
-                            jnp.where(frac < 0.5, 1.0, -1.0), 1.0)
-            c = c * sub
+            c = _code_at(s_prompt
+                         + jnp.int32(sign) * s_half)
             i_full = jnp.sum(xi * c, axis=1)
             q_full = jnp.sum(xq * c, axis=1)
             if not split:

@@ -153,7 +153,9 @@ if args.gps:
     mgr = gps_manager.GpsManager(
         prns=tuple(ephs) + (3, 7, 30),      # scene PRNs + decoys
         galileo_prns=tuple(gal_ephs))
-    gps = GpsReceiver(sky, mgr, engine=eng)
+    gps = GpsReceiver(sky, mgr, engine=eng,
+                      chunk_seconds=0.4 if not args.cpu else 0.1,
+                      realtime=True)
 
 cfg = None
 if args.cfg or args.password or args.admin_password:

@@ -361,8 +361,20 @@ def test_device_scene_matches_host_scene():
     a, b = mk(False), mk(True)
     n = 16368 * 20
     for _ in range(2):
-        xa, xb = a.next_block(n), b.next_block(n)
-        err = xa - xb
-        assert np.corrcoef(xa, xb)[0, 1] > 0.9999
-        assert np.sqrt((err ** 2).mean()) < 0.02
+        xa, xb = a.next_block(n), np.asarray(b.next_block(n))
+        # the device path quantizes chip transitions to the sample
+        # grid (+-0.5 sample = 1/32 chip, zero-mean across epochs):
+        # samples right at chip edges differ, everything else matches
+        assert np.corrcoef(xa, xb)[0, 1] > 0.95
+        match = np.mean(np.abs(xa - xb) < 0.05)
+        assert match > 0.9, match
     assert a.ticks == b.ticks
+    # the receiver front end must acquire from the device scene
+    from flydog_sdr_gps_tpu.models.gps import manager
+    m = manager.GpsManager(prns=tuple(ephs))
+    one_bit = gs.GpsScene(rx_pos, ephs, t0, duration=30.0,
+                          clock_ppm=0.4, noise=0.9, amplitude=0.5,
+                          device=True)
+    raw = one_bit.next_block(16368 * 100)
+    m.process(raw, search=True)
+    assert len(m.channels) >= 3, sorted(m.channels)

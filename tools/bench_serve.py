@@ -325,7 +325,8 @@ async def _run_mixed(C: int, block: int, n_snd: int, n_wf: int,
     # appear within the bench window (live ephemeris decode needs
     # ~30 s of nav bits and is proven by tests/test_gps_e2e.py)
     gps = GpsReceiver(sky, mgr, engine=eng, search_interval=10.0,
-                      assist_ephemerides=ephs, chunk_seconds=0.4)
+                      assist_ephemerides=ephs, chunk_seconds=0.4,
+                      realtime=True)
     port = int(os.environ.get("BENCH_SERVE_PORT", "18975"))
     server = KiwiServer(eng, port=port, realtime=False,
                         wf_enabled=True, wf_chans=4, gps=gps,

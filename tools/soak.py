@@ -77,7 +77,8 @@ async def _run(C: int, block: int, n_snd: int, n_wf: int,
     # trips/s over the tunnel (~50 ms latency each), which alone eats
     # half the serving budget; tracking is chunk-size-agnostic
     gps = GpsReceiver(sky, mgr, engine=eng, search_interval=10.0,
-                      assist_ephemerides=ephs, chunk_seconds=0.4)
+                      assist_ephemerides=ephs, chunk_seconds=0.4,
+                      realtime=True)
 
     port = int(os.environ.get("SOAK_PORT", "18977"))
     server = KiwiServer(eng, port=port, realtime=False,
