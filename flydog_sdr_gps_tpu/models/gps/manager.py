@@ -622,6 +622,15 @@ class GpsManager:
                 prns=[m[0] for m in mm])
             if name == "all":
                 fix = self.ekf.update(sat_pos, pr, dt=2.0)
+                # divergence guard: a Kalman filter walked away from
+                # the data (bad geometry transient, long-run drift)
+                # must not keep reporting its own prior — snap back
+                # to the single-point solution (the reference runs
+                # LS and EKF side by side for the same reason,
+                # `gps/solve.cpp:571-640`)
+                if np.linalg.norm(fix - pos) > 5e3:
+                    self.ekf.initialized = False
+                    fix = self.ekf.update(sat_pos, pr, dt=2.0)
                 # clock discipline: solved GPS time of the snapshot
                 # instant vs the receiver sample counter
                 t_gps = t_rx - bias / C_LIGHT

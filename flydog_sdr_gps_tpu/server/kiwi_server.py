@@ -1985,6 +1985,17 @@ REST: <a href="/status">/status</a> <a href="/users">/users</a>
                 pass
 
     async def start(self):
+        # the loop's DEFAULT executor has only cpu+4 threads (6 on a
+        # small host); the serving fetch, encode, WF ingest, GPS
+        # chunks and extension work all run there, so a full pool can
+        # queue the very device_get the block loop is awaiting behind
+        # long device jobs — indistinguishable from a wedged runtime.
+        # Give the loop a wide pool: these threads mostly BLOCK on
+        # device work (GIL released), they are not CPU workers.
+        import concurrent.futures
+        asyncio.get_running_loop().set_default_executor(
+            concurrent.futures.ThreadPoolExecutor(
+                max_workers=16, thread_name_prefix="kiwi"))
         runner = web.AppRunner(self.app)
         await runner.setup()
         site = web.TCPSite(runner, "0.0.0.0", self.port)

@@ -84,6 +84,9 @@ async def _run(C: int, block: int, n_snd: int, n_wf: int,
     server = KiwiServer(eng, port=port, realtime=False,
                         wf_enabled=True, wf_chans=4, gps=gps,
                         autorun=[f"wspr:{dial_khz}"])
+    # the soak triggers first-time GPS jit compiles mid-flight; those
+    # tunnel stalls recover — don't let the watchdog restart the run
+    server.stall_restart_blocks = 60
     await server.start()
     try:
         log(f"soak: C={C} block={block} snd={n_snd} wf={n_wf} "
