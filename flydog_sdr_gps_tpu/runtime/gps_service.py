@@ -92,6 +92,17 @@ class GpsReceiver:
         if not self.mgr.clock.locked:
             return
         clk = self.mgr.adc_clock()
+        # stability gate (the reference's MMA + outlier window serves
+        # the same purpose, `init/clk.cpp:205-263`): only retune on a
+        # SETTLED estimate.  A wandering estimate (e.g. the long-run
+        # drift noted in PARITY.md) would otherwise retune every few
+        # seconds and smear every narrowband decoder mid-capture.
+        self._clk_hist = (getattr(self, "_clk_hist", []) + [clk])[-6:]
+        if len(self._clk_hist) >= 4:
+            spread_ppm = ((max(self._clk_hist) - min(self._clk_hist))
+                          / clk * 1e6)
+            if spread_ppm > 0.05:
+                return
         dppm = abs(clk - self.adc_clock_corrected) / clk * 1e6
         if dppm < self.min_change:
             return
